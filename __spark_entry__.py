@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine under test is ``keepright_spark`` — a PySpark-native
+spatial-join + tiling engine re-expressing keepright's OSM checks.
+The OSM input (interleaved text+media docs, BASELINE.json input_hint)
+is synthesized deterministically by ``keepright_spark.datagen`` at a
+scale matched to the driver's sf dir; the DuckDB oracles run on the
+generator's independently-computed relational views.
 """
 
 from __future__ import annotations
@@ -13,26 +14,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from keepright_spark import oracles, pipeline
+from keepright_spark.datagen import ensure_dataset, scale_for_sf_dir
+
+# checks with both a Spark implementation and a DuckDB oracle
+CHECKS_WITH_ORACLE = [20]
+# checks implemented in Spark only (rows-only verification)
+CHECKS_ROWS_ONLY: list[int] = []
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full check suite on the tiny synthetic OSM world."""
+    d = ensure_dataset("t")
+    return pipeline.run_dataset(spark, d)
+
+
+def _mk_check_query(cid: int) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = ensure_dataset(scale_for_sf_dir(sf_dir))
+        return pipeline.run_dataset(spark, d, [cid])
+
+    return q
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    ensure_dataset("s")  # the oracle side reads files from disk
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for cid in CHECKS_WITH_ORACLE + CHECKS_ROWS_ONLY:
+        out[f"kr_{cid:04d}"] = _mk_check_query(cid)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    d = ensure_dataset("s")
+    out: dict[str, str] = {}
+    for cid in CHECKS_WITH_ORACLE:
+        out[f"kr_{cid:04d}"] = getattr(oracles, f"oracle_{cid:04d}")(d)
+    return out

@@ -1,0 +1,632 @@
+"""Deterministic synthetic OSM world generator.
+
+Produces, for a given scale:
+
+* ``docs.parquet``  — the interleaved text+media document table that is
+  the engine's ONLY input (BASELINE.json input_hint);
+* ``oracle/*.parquet`` — pre-tiled relational views computed by an
+  *independent* pandas/numpy implementation of the decode + tiling
+  rules, used by the DuckDB oracle SQL in ``__spark_entry__.py`` for
+  differential testing (the Spark engine never reads these).
+
+Everything is seeded (seed 42 ⊕ scale) — no external data.  The world
+is a random road/water/rail network over the two-tile region of
+tiling.DEFAULT_TILES plus targeted per-check "injections" (FIXTURES.md
+§3) so every check has positive and negative cases at every scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .codec import DOCS_ARROW_SCHEMA, encode_object, fmt_coord
+from .mercator import merc_x, merc_y
+from .tiling import DEFAULT_MARGIN_M, DEFAULT_TILES, Tile
+
+GEN_VERSION = 2  # bump to force dataset regeneration
+
+# region covering both tiles + margins
+LAT_MIN, LAT_MAX = 47.995, 48.105
+LON_MIN, LON_MAX = 16.195, 16.405
+
+M_PER_DEG_LAT = 111132.0
+M_PER_DEG_LON = 74625.0  # ~cos(48°) * 111320
+
+HIGHWAY_CLASSES = [
+    ("residential", 0.30),
+    ("secondary", 0.12),
+    ("primary", 0.10),
+    ("tertiary", 0.08),
+    ("motorway", 0.05),
+    ("motorway_link", 0.03),
+    ("trunk", 0.03),
+    ("service", 0.09),
+    ("track", 0.08),
+    ("footway", 0.07),
+    ("path", 0.03),
+    ("cycleway", 0.02),
+]
+
+AMENITIES_NEED_NAME = ["restaurant", "pub", "cafe", "hotel", "school", "cinema"]
+
+
+@dataclass
+class World:
+    """Ground-truth relational content (pre-codec)."""
+
+    nodes: list = field(default_factory=list)  # (id, user_id, lat7, lon7)
+    node_tags: list = field(default_factory=list)  # (node_id, k, v)
+    ways: list = field(default_factory=list)  # (id, user_id)
+    way_nodes: list = field(default_factory=list)  # (way_id, seq, node_id)
+    way_tags: list = field(default_factory=list)  # (way_id, k, v)
+    relations: list = field(default_factory=list)  # (id, user_id)
+    relation_members: list = field(default_factory=list)  # (rid, seq, type, mid, role)
+    relation_tags: list = field(default_factory=list)  # (rid, k, v)
+
+    _next_node: int = 1_000_000
+    _next_way: int = 5_000_000
+    _next_rel: int = 9_000_000
+
+    def nd(self, lat7: int, lon7: int, tags: list | None = None) -> int:
+        nid = self._next_node
+        self._next_node += 1
+        self.nodes.append((nid, 1 + nid % 97, int(lat7), int(lon7)))
+        for k, v in tags or []:
+            self.node_tags.append((nid, k, v))
+        return nid
+
+    def wy(self, node_ids: list, tags: list | None = None) -> int:
+        wid = self._next_way
+        self._next_way += 1
+        self.ways.append((wid, 1 + wid % 97))
+        for i, nid in enumerate(node_ids):
+            self.way_nodes.append((wid, i + 1, nid))
+        for k, v in tags or []:
+            self.way_tags.append((wid, k, v))
+        return wid
+
+    def rl(self, members: list, tags: list | None = None) -> int:
+        """members: list of (member_type 'N'|'W'|'R', member_id, role)."""
+        rid = self._next_rel
+        self._next_rel += 1
+        self.relations.append((rid, 1 + rid % 97))
+        for i, (mt, mid, role) in enumerate(members):
+            self.relation_members.append((rid, i + 1, mt, mid, role))
+        for k, v in tags or []:
+            self.relation_tags.append((rid, k, v))
+        return rid
+
+
+def _snap7(deg: float) -> int:
+    return int(round(deg * 1e7))
+
+
+def _rand_pt(rng: np.random.RandomState) -> tuple[int, int]:
+    return (
+        _snap7(rng.uniform(LAT_MIN, LAT_MAX)),
+        _snap7(rng.uniform(LON_MIN, LON_MAX)),
+    )
+
+
+def _step7(lat7: int, lon7: int, heading: float, dist_m: float) -> tuple[int, int]:
+    dlat = dist_m * np.cos(heading) / M_PER_DEG_LAT
+    dlon = dist_m * np.sin(heading) / M_PER_DEG_LON
+    return lat7 + int(round(dlat * 1e7)), lon7 + int(round(dlon * 1e7))
+
+
+def _pick(rng, weighted: list[tuple[str, float]]) -> str:
+    names = [n for n, _ in weighted]
+    w = np.array([p for _, p in weighted])
+    return names[rng.choice(len(names), p=w / w.sum())]
+
+
+# ---------------------------------------------------------------------------
+# Background network
+# ---------------------------------------------------------------------------
+
+
+def gen_network(b: World, rng: np.random.RandomState, n_ways: int) -> None:
+    """Random polyline network with a shared junction pool so ways
+    connect; tags drawn so the generic tag checks (0060/0070/0090/...)
+    and topology checks all have organic positives and negatives."""
+    junction_pool: list[int] = []  # node ids reusable as way endpoints
+    junction_pos: dict[int, tuple[int, int]] = {}
+
+    for _ in range(n_ways):
+        # start point: reuse a junction 60% of the time
+        if junction_pool and rng.rand() < 0.6:
+            start = junction_pool[rng.randint(len(junction_pool))]
+            lat7, lon7 = junction_pos[start]
+            node_ids = [start]
+        else:
+            lat7, lon7 = _rand_pt(rng)
+            start = b.nd(lat7, lon7)
+            node_ids = [start]
+            junction_pool.append(start)
+            junction_pos[start] = (lat7, lon7)
+
+        heading = rng.uniform(0, 2 * np.pi)
+        n_seg = rng.randint(1, 9)
+        for _ in range(n_seg):
+            heading += rng.uniform(-0.6, 0.6)
+            lat7, lon7 = _step7(lat7, lon7, heading, rng.uniform(30, 180))
+            node_ids.append(b.nd(lat7, lon7))
+        # share the end node as a junction sometimes
+        if rng.rand() < 0.5:
+            junction_pool.append(node_ids[-1])
+            junction_pos[node_ids[-1]] = (lat7, lon7)
+
+        tags: list[tuple[str, str]] = []
+        kind = rng.rand()
+        if kind < 0.62:
+            hw = _pick(rng, HIGHWAY_CLASSES)
+            tags.append(("highway", hw))
+            if rng.rand() < 0.55:
+                tags.append(("name", f"Street {node_ids[0] % 10000}"))
+            if hw in ("motorway", "trunk", "primary", "secondary"):
+                if rng.rand() < 0.55:
+                    tags.append(("maxspeed", str(int(rng.choice([50, 80, 100, 130])))))
+                if hw == "motorway" and rng.rand() < 0.75:
+                    tags.append(("ref", f"A{node_ids[0] % 30}"))
+            if hw == "track" and rng.rand() < 0.55:
+                tags.append(("tracktype", f"grade{1 + node_ids[0] % 5}"))
+            if rng.rand() < 0.08:
+                tags.append(("oneway", "yes"))
+            if rng.rand() < 0.03:
+                tags.append(("bridge", "yes"))
+                if rng.rand() < 0.5:
+                    tags.append(("layer", "1"))
+            elif rng.rand() < 0.02:
+                tags.append(("tunnel", "yes"))
+                if rng.rand() < 0.5:
+                    tags.append(("layer", "-1"))
+            if rng.rand() < 0.02:
+                tags.append(("fixme", "check this"))
+            if rng.rand() < 0.015:
+                tags.append(("highway", "road") if False else ("note", "FIXME: verify"))
+        elif kind < 0.72:
+            tags.append(("waterway", str(rng.choice(["stream", "river", "ditch"]))))
+            if rng.rand() < 0.3:
+                tags.append(("name", f"Bach {node_ids[0] % 1000}"))
+        elif kind < 0.77:
+            tags.append(("railway", "rail"))
+        elif kind < 0.85:
+            # building: close the ring
+            node_ids = node_ids + [node_ids[0]]
+            tags.append(("building", "yes"))
+        elif kind < 0.91:
+            # landuse area; 15% left open (check 0030 positives)
+            if rng.rand() >= 0.15:
+                node_ids = node_ids + [node_ids[0]]
+            tags.append(("landuse", str(rng.choice(["forest", "meadow", "farmland"]))))
+        elif kind < 0.94:
+            tags.append(("barrier", "fence"))
+        elif kind < 0.97:
+            tags.append(("sport", str(rng.choice(["soccer", "tennis"]))))
+            if rng.rand() < 0.5:
+                tags.append(("leisure", "pitch"))
+        else:
+            # untagged / created_by-only ways (check 0071)
+            if rng.rand() < 0.5:
+                tags.append(("created_by", "JOSM"))
+
+        wid = b.wy(node_ids, tags)
+
+        # occasionally group ways into relations
+        if rng.rand() < 0.04:
+            rtags = []
+            r = rng.rand()
+            if r < 0.5:
+                rtags = [("type", "route"), ("route", "road")]
+            elif r < 0.8:
+                rtags = [("type", "multipolygon")]
+            # else: relation without type (check 0180)
+            b.rl([("W", wid, "outer" if r < 0.8 else "")], rtags)
+
+
+def gen_pois(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        r = rng.rand()
+        tags: list[tuple[str, str]] = []
+        if r < 0.30:
+            am = str(rng.choice(AMENITIES_NEED_NAME))
+            tags.append(("amenity", am))
+            if rng.rand() < 0.7:
+                tags.append(("name", f"{am} {lat7 % 1000}"))
+        elif r < 0.40:
+            tags.append(("amenity", "place_of_worship"))
+            if rng.rand() < 0.6:
+                tags.append(("religion", "christian"))
+        elif r < 0.55:
+            tags.append(("natural", "tree"))
+        elif r < 0.65:
+            tags.append(("place", "hamlet"))
+            tags.append(("name", f"Dorf{lat7 % 100}"))
+        elif r < 0.72:
+            # name-only node (check 0075)
+            tags.append(("name", f"Lonely {lat7 % 1000}"))
+        elif r < 0.78:
+            # empty key or value (check 0074)
+            tags.append(("note", "") if rng.rand() < 0.5 else ("", "x"))
+        # else: untagged lone node (check 0072)
+        b.nd(lat7, lon7, tags)
+
+
+# ---------------------------------------------------------------------------
+# Per-check injections (FIXTURES.md §3) — extended as checks land
+# ---------------------------------------------------------------------------
+
+
+def inj_0020_duplicate_nodes(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(4)
+        if variant == 0:  # k plain duplicates → error
+            for _ in range(2 + rng.randint(3)):
+                b.nd(lat7, lon7)
+        elif variant == 1:  # all-distinct ele → NO error (0020:70-79)
+            for i in range(3):
+                b.nd(lat7, lon7, [("ele", str(100 + i)), ("man_made", "tower")])
+        elif variant == 2:  # same ele twice → error
+            for _ in range(2):
+                b.nd(lat7, lon7, [("ele", "55")])
+        else:  # partial ele coverage → error (count != distinct ele)
+            b.nd(lat7, lon7, [("ele", "10")])
+            b.nd(lat7, lon7, [("ele", "11")])
+            b.nd(lat7, lon7)
+
+
+def inj_0060_deprecated(b: World, rng: np.random.RandomState, n: int) -> None:
+    depr = [
+        ("highway", "minor"), ("highway", "stile"), ("amenity", "bakers"),
+        ("landuse", "wood"), ("natural", "marsh"), ("highway", "incline"),
+    ]
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        k, v = depr[rng.randint(len(depr))]
+        if rng.rand() < 0.5:
+            b.nd(lat7, lon7, [(k, v)])
+        else:
+            n1 = b.nd(lat7, lon7)
+            n2 = b.nd(*_step7(lat7, lon7, rng.uniform(0, 6.28), 50))
+            b.wy([n1, n2], [(k, v)])
+
+
+def inj_0210_loopings(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(3)
+        a = b.nd(lat7, lon7)
+        c = b.nd(*_step7(lat7, lon7, 1.0, 60))
+        d = b.nd(*_step7(lat7, lon7, 2.0, 60))
+        if variant == 0:  # node used 3× → 210
+            b.wy([a, c, a, d, a], [("highway", "residential")])
+        elif variant == 1:  # two doubled nodes → 210 is not raised, 211 is
+            b.wy([a, c, a, d, c], [("highway", "residential")])
+        else:  # 2 distinct nodes with repeat → 212
+            b.wy([a, c, a], [("highway", "residential")])
+
+
+INJECTORS = [
+    (inj_0020_duplicate_nodes, 4),
+    (inj_0060_deprecated, 4),
+    (inj_0210_loopings, 3),
+]
+
+
+# ---------------------------------------------------------------------------
+# Scales
+# ---------------------------------------------------------------------------
+
+SCALES = {
+    # name: (n_ways, n_pois, injection_unit)
+    "t": (250, 200, 3),
+    "s": (2200, 1800, 20),
+    "m": (22000, 18000, 200),
+}
+SF_TO_SCALE = {"sf0.001": "t", "sf0.01": "s", "sf0.1": "m", "sf1": "m"}
+
+
+def build_world(scale: str) -> World:
+    n_ways, n_pois, unit = SCALES[scale]
+    rng = np.random.RandomState(42 + sum(map(ord, scale)))
+    b = World()
+    gen_network(b, rng, n_ways)
+    gen_pois(b, rng, n_pois)
+    for fn, weight in INJECTORS:
+        fn(b, rng, unit * weight)
+    return b
+
+
+# ---------------------------------------------------------------------------
+# Output: docs.parquet + oracle views
+# ---------------------------------------------------------------------------
+
+
+def _tstamp_iso(oid: int) -> str:
+    dt = datetime(2024, 1, 1) + timedelta(seconds=(oid * 13) % 999983)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S")
+
+
+def _write_docs(b: World, path: str) -> None:
+    node_tags: dict[int, list] = {}
+    for nid, k, v in b.node_tags:
+        node_tags.setdefault(nid, []).append((k, v))
+    way_tags: dict[int, list] = {}
+    for wid, k, v in b.way_tags:
+        way_tags.setdefault(wid, []).append((k, v))
+    rel_tags: dict[int, list] = {}
+    for rid, k, v in b.relation_tags:
+        rel_tags.setdefault(rid, []).append((k, v))
+    way_nodes: dict[int, list] = {}
+    for wid, seq, nid in b.way_nodes:
+        way_nodes.setdefault(wid, []).append((seq, nid))
+    rel_members: dict[int, list] = {}
+    for rid, seq, mt, mid, role in b.relation_members:
+        rel_members.setdefault(rid, []).append((seq, mt, mid, role))
+
+    doc_ids, span_lists = [], []
+
+    for nid, uid, lat7, lon7 in b.nodes:
+        doc_id, spans = encode_object(
+            "node", nid, uid, _tstamp_iso(nid), node_tags.get(nid, []),
+            coord=(lat7 / 1e7, lon7 / 1e7), n_media=nid % 4,
+        )
+        doc_ids.append(doc_id)
+        span_lists.append(spans)
+    for wid, uid in b.ways:
+        doc_id, spans = encode_object(
+            "way", wid, uid, _tstamp_iso(wid), way_tags.get(wid, []),
+            noderefs=sorted(way_nodes.get(wid, [])), n_media=wid % 4,
+        )
+        doc_ids.append(doc_id)
+        span_lists.append(spans)
+    for rid, uid in b.relations:
+        doc_id, spans = encode_object(
+            "relation", rid, uid, _tstamp_iso(rid), rel_tags.get(rid, []),
+            members=sorted(rel_members.get(rid, [])), n_media=rid % 4,
+        )
+        doc_ids.append(doc_id)
+        span_lists.append(spans)
+
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": doc_ids,
+            "spans": [
+                [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in spans
+                ]
+                for spans in span_lists
+            ],
+        },
+        schema=DOCS_ARROW_SCHEMA,
+    )
+    pq.write_table(table, path)
+
+
+def _oracle_views(
+    b: World, tiles: list[Tile], margin_m: float
+) -> dict[str, pd.DataFrame]:
+    """Independent pandas implementation of decode + tiling, for the
+    DuckDB differential oracle."""
+    nodes = pd.DataFrame(b.nodes, columns=["id", "user_id", "lat7", "lon7"])
+    # lat/lon exactly as the engine parses them: float of the 7-decimal text
+    nodes["lat"] = np.array([float(fmt_coord(v / 1e7)) for v in nodes["lat7"]])
+    nodes["lon"] = np.array([float(fmt_coord(v / 1e7)) for v in nodes["lon7"]])
+    nodes["x"] = merc_x(nodes["lon"].to_numpy())
+    nodes["y"] = merc_y(nodes["lat"].to_numpy())
+    nodes["tstamp"] = pd.to_datetime([_tstamp_iso(i) for i in nodes["id"]])
+    nodes = nodes.drop(columns=["lat7", "lon7"])
+
+    node_tags = pd.DataFrame(b.node_tags, columns=["node_id", "k", "v"])
+    way_tags = pd.DataFrame(b.way_tags, columns=["way_id", "k", "v"])
+    relation_tags = pd.DataFrame(b.relation_tags, columns=["relation_id", "k", "v"])
+
+    way_nodes = pd.DataFrame(b.way_nodes, columns=["way_id", "sequence_id", "node_id"])
+    way_nodes = way_nodes.merge(
+        nodes[["id", "lat", "lon", "x", "y"]], left_on="node_id", right_on="id"
+    ).drop(columns=["id"])
+
+    ways = pd.DataFrame(b.ways, columns=["id", "user_id"])
+    ways["tstamp"] = pd.to_datetime([_tstamp_iso(i) for i in ways["id"]])
+    wn_sorted = way_nodes.sort_values(["way_id", "sequence_id"])
+    firsts = wn_sorted.groupby("way_id").first()
+    lasts = wn_sorted.groupby("way_id").last()
+    counts = wn_sorted.groupby("way_id").size().rename("node_count")
+    ways = ways.merge(
+        pd.DataFrame(
+            {
+                "first_node_id": firsts["node_id"],
+                "first_node_lat": firsts["lat"],
+                "first_node_lon": firsts["lon"],
+                "first_node_x": firsts["x"],
+                "first_node_y": firsts["y"],
+                "last_node_id": lasts["node_id"],
+                "last_node_lat": lasts["lat"],
+                "last_node_lon": lasts["lon"],
+                "last_node_x": lasts["x"],
+                "last_node_y": lasts["y"],
+                "node_count": counts,
+            }
+        ).reset_index(names="id"),
+        on="id",
+        how="left",
+    )
+    ways["node_count"] = ways["node_count"].fillna(0).astype("int64")
+
+    relations = pd.DataFrame(b.relations, columns=["id", "user_id"])
+    relations["tstamp"] = pd.to_datetime([_tstamp_iso(i) for i in relations["id"]])
+    relation_members = pd.DataFrame(
+        b.relation_members,
+        columns=["relation_id", "sequence_id", "member_type", "member_id", "member_role"],
+    )
+    relation_members = relation_members[
+        ["relation_id", "member_id", "member_role", "member_type", "sequence_id"]
+    ]
+
+    # ---- tiling (mirror of tiling.assign_tiles, independent code) ----
+    node_tile_parts = []
+    for t in tiles:
+        pl, pr, pt_, pb = t.padded(margin_m)
+        m = (
+            (nodes["lat"] >= pb)
+            & (nodes["lat"] < pt_)
+            & (nodes["lon"] >= pl)
+            & (nodes["lon"] < pr)
+        )
+        part = nodes.loc[m, ["id"]].copy()
+        part["tile"] = t.name
+        node_tile_parts.append(part)
+    node_tile = pd.concat(node_tile_parts, ignore_index=True)
+
+    way_tile = (
+        way_nodes.merge(node_tile, left_on="node_id", right_on="id")[
+            ["way_id", "tile"]
+        ]
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    wn_tiled = way_nodes.merge(way_tile, on="way_id")
+    node_tile = (
+        pd.concat(
+            [node_tile, wn_tiled[["node_id", "tile"]].rename(columns={"node_id": "id"})],
+            ignore_index=True,
+        )
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+
+    nodes_t = nodes.merge(node_tile, on="id")
+    node_tags_t = node_tags.merge(
+        node_tile.rename(columns={"id": "node_id"}), on="node_id"
+    )
+    ways_t = ways.merge(way_tile.rename(columns={"way_id": "id"}), on="id")
+    way_tags_t = way_tags.merge(way_tile, on="way_id")
+
+    # relations: fixpoint pruning
+    tile_names = [t.name for t in tiles]
+    rel_tile = pd.MultiIndex.from_product(
+        [relations["id"], tile_names], names=["id", "tile"]
+    ).to_frame(index=False)
+    local_n = node_tile.assign(member_type="N")
+    local_w = way_tile.rename(columns={"way_id": "id"}).assign(member_type="W")
+    for _ in range(8):
+        local_r = rel_tile.assign(member_type="R")
+        local_objs = pd.concat([local_n, local_w, local_r], ignore_index=True)
+        mm = relation_members.merge(
+            local_objs.rename(columns={"id": "member_id"}),
+            on=["member_id", "member_type"],
+        )[["relation_id", "tile"]].drop_duplicates()
+        new_rel_tile = rel_tile.merge(
+            mm.rename(columns={"relation_id": "id"}), on=["id", "tile"]
+        )
+        if len(new_rel_tile) == len(rel_tile):
+            rel_tile = new_rel_tile
+            break
+        rel_tile = new_rel_tile
+
+    relations_t = relations.merge(rel_tile, on="id")
+    local_objs = pd.concat(
+        [local_n, local_w, rel_tile.assign(member_type="R")], ignore_index=True
+    )
+    rm_t = relation_members.merge(
+        rel_tile.rename(columns={"id": "relation_id"}), on="relation_id"
+    ).merge(
+        local_objs.rename(columns={"id": "member_id"}),
+        on=["member_id", "member_type", "tile"],
+    )[["relation_id", "member_id", "member_role", "member_type", "sequence_id", "tile"]]
+    relation_tags_t = relation_tags.merge(
+        rel_tile.rename(columns={"id": "relation_id"}), on="relation_id"
+    )
+
+    users = pd.DataFrame(
+        {
+            "id": range(1, 99),
+            "user_name": [f"user_{i}" for i in range(1, 99)],
+        }
+    )
+    tiles_df = pd.DataFrame(
+        [(t.name, t.left, t.right, t.top, t.bottom) for t in tiles],
+        columns=["tile", "left", "right", "top", "bottom"],
+    )
+
+    return {
+        "nodes": nodes_t,
+        "node_tags": node_tags_t,
+        "ways": ways_t,
+        "way_nodes": wn_tiled,
+        "way_tags": way_tags_t,
+        "relations": relations_t,
+        "relation_members": rm_t,
+        "relation_tags": relation_tags_t,
+        "users": users,
+        "tiles": tiles_df,
+    }
+
+
+def write_dataset(
+    out_dir: str,
+    scale: str,
+    tiles: list[Tile] | None = None,
+    margin_m: float = DEFAULT_MARGIN_M,
+) -> None:
+    tiles = tiles or DEFAULT_TILES
+    os.makedirs(os.path.join(out_dir, "oracle"), exist_ok=True)
+    b = build_world(scale)
+    _write_docs(b, os.path.join(out_dir, "docs.parquet"))
+    for name, df in _oracle_views(b, tiles, margin_m).items():
+        if "tstamp" in df.columns:
+            # microsecond precision: Spark cannot read NANOS parquet
+            df = df.assign(tstamp=df["tstamp"].astype("datetime64[us]"))
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(out_dir, "oracle", f"{name}.parquet"),
+        )
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "gen_version": GEN_VERSION,
+                "scale": scale,
+                "n_nodes": len(b.nodes),
+                "n_ways": len(b.ways),
+                "n_relations": len(b.relations),
+            },
+            f,
+        )
+
+
+DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+def dataset_dir(scale: str) -> str:
+    return os.path.join(DATA_ROOT, f"osm_{scale}")
+
+
+def ensure_dataset(scale: str) -> str:
+    """Generate the dataset if missing or stale; returns its directory."""
+    d = dataset_dir(scale)
+    manifest = os.path.join(d, "MANIFEST.json")
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as f:
+                if json.load(f).get("gen_version") == GEN_VERSION:
+                    return d
+        except (json.JSONDecodeError, OSError):
+            pass
+    write_dataset(d, scale)
+    return d
+
+
+def scale_for_sf_dir(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return SF_TO_SCALE.get(base, "s")

@@ -1,0 +1,37 @@
+"""Differential tests: every check query vs its DuckDB oracle at the
+small scale — the same comparison the driver's correctness gate runs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.astype({c: "string" for c in df.columns})
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare_query(spark, name: str, sf_dir: str) -> None:
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = _normalize(q(spark, sf_dir).toPandas())
+    exp = _normalize(duckdb.sql(sql).df())
+    assert len(got) == len(exp), f"{name}: row count {len(got)} vs oracle {len(exp)}"
+    assert len(got) > 0, f"{name}: oracle produced no rows — fixture gap"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("cid", entrymod.CHECKS_WITH_ORACLE)
+def test_check_vs_oracle(spark, small_dir, cid):
+    compare_query(spark, f"kr_{cid:04d}", "/root/testdata/sf0.01")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
