@@ -31,7 +31,7 @@ from .codec import DOCS_ARROW_SCHEMA, encode_object, fmt_coord
 from .mercator import merc_x, merc_y
 from .tiling import DEFAULT_MARGIN_M, DEFAULT_TILES, Tile
 
-GEN_VERSION = 2  # bump to force dataset regeneration
+GEN_VERSION = 3  # bump to force dataset regeneration
 
 # region covering both tiles + margins
 LAT_MIN, LAT_MAX = 47.995, 48.105
@@ -286,19 +286,24 @@ def inj_0020_duplicate_nodes(b: World, rng: np.random.RandomState, n: int) -> No
 
 
 def inj_0060_deprecated(b: World, rng: np.random.RandomState, n: int) -> None:
+    # real entries from the reference's replacement list (0060:8-118),
+    # incl. one '*'-wildcard rule and one object matching TWO rules
+    # (bakers + hotel) to exercise the first-rule-wins dedupe
     depr = [
-        ("highway", "minor"), ("highway", "stile"), ("amenity", "bakers"),
-        ("landuse", "wood"), ("natural", "marsh"), ("highway", "incline"),
+        [("highway", "bridge")], [("highway", "byway")], [("amenity", "bakers")],
+        [("amenity", "hotel")], [("abutters", "residential")],
+        [("amenity", "bakers"), ("highway", "ford")],
+        [("amenity", "hotel"), ("highway", "ford")],
     ]
     for _ in range(n):
         lat7, lon7 = _rand_pt(rng)
-        k, v = depr[rng.randint(len(depr))]
+        tags = depr[rng.randint(len(depr))]
         if rng.rand() < 0.5:
-            b.nd(lat7, lon7, [(k, v)])
+            b.nd(lat7, lon7, list(tags))
         else:
             n1 = b.nd(lat7, lon7)
             n2 = b.nd(*_step7(lat7, lon7, rng.uniform(0, 6.28), 50))
-            b.wy([n1, n2], [(k, v)])
+            b.wy([n1, n2], list(tags))
 
 
 def inj_0210_loopings(b: World, rng: np.random.RandomState, n: int) -> None:
@@ -316,10 +321,115 @@ def inj_0210_loopings(b: World, rng: np.random.RandomState, n: int) -> None:
             b.wy([a, c, a], [("highway", "residential")])
 
 
+def inj_0120_short_ways(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        nid = b.nd(lat7, lon7)
+        b.wy([nid], [("highway", "residential")])
+
+
+def inj_0150_0160_crossings(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(4)
+        node_tags = []
+        if variant == 1:
+            node_tags = [("railway", "crossing")]  # negative for 0150
+        elif variant in (2, 3):
+            node_tags = [("railway", "level_crossing")]
+        shared = b.nd(lat7, lon7, node_tags)
+        r1 = b.nd(*_step7(lat7, lon7, 0.5, 80))
+        r2 = b.nd(*_step7(lat7, lon7, 0.5 + np.pi, 80))
+        h1 = b.nd(*_step7(lat7, lon7, 2.0, 80))
+        h2 = b.nd(*_step7(lat7, lon7, 2.0 + np.pi, 80))
+        rail_tags = [("railway", "rail")]
+        hw_tags = [("highway", "residential")]
+        if variant == 2:
+            hw_tags.append(("layer", "1"))  # 0160 layer conflict
+        if variant == 3:
+            rail_tags.append(("bridge", "yes"))  # 0160 bridge/tunnel
+        b.wy([r1, shared, r2], rail_tags)
+        b.wy([h1, shared, h2], hw_tags)
+
+
+def inj_0320_links(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        cls = str(rng.choice(["motorway", "trunk", "primary", "secondary"]))
+        a = b.nd(lat7, lon7)
+        c = b.nd(*_step7(lat7, lon7, 1.0, 120))
+        b.wy([a, c], [("highway", f"{cls}_link")])
+        if rng.rand() < 0.5:  # negative: connect a same-class road
+            e = b.nd(*_step7(lat7, lon7, 2.5, 150))
+            b.wy([c, e], [("highway", cls), ("ref", "X1"), ("maxspeed", "100")])
+
+
+def inj_0350_bridges(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        p = [b.nd(*_step7(lat7, lon7, 0.0, 90 * i)) for i in range(4)]
+        b.wy(p[:2], [("highway", "residential"), ("name", "approach")])
+        b.wy(p[2:], [("highway", "residential")])
+        bridge_tags = [("bridge", "yes")]
+        if rng.rand() < 0.4:  # negative: bridge carries its own way-type
+            bridge_tags.append(("highway", "residential"))
+        b.wy([p[1], p[2]], bridge_tags)
+
+
+def inj_0360_language(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        i = rng.randint(1000)
+        tags = [("name", f"London{i}"), ("name:fr", f"Londres{i}"),
+                ("place", "town")]
+        if rng.rand() < 0.4:  # negative: explicit language tag present
+            tags.append(("name:en", f"London{i}"))
+        b.nd(lat7, lon7, tags)
+
+
+def inj_0420_suspicious(b: World, rng: np.random.RandomState, n: int) -> None:
+    cases = [
+        [("highway", "path"), ("incline", "10 %")],          # 421
+        [("highway", "path"), ("incline", "10%")],           # ok
+        [("highway", "residential"), ("maxspeed", "50;30")], # 421+422 list
+        [("barrier", "fence"), ("height", "2m")],            # 421
+        [("barrier", "fence"), ("height", "2 m")],           # ok
+        [("building", "yes"), ("addr:housename", "12")],     # 423
+        [("golf", "bunker"), ("natural", "beach")],          # 424
+        [("highway", "footway"), ("access", "yes; no")],     # 422 yes;no
+    ]
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        tags = cases[rng.randint(len(cases))]
+        if rng.rand() < 0.5 and tags[0][0] != "building":
+            b.nd(lat7, lon7, list(tags))
+        else:
+            n1 = b.nd(lat7, lon7)
+            n2 = b.nd(*_step7(lat7, lon7, 1.2, 70))
+            b.wy([n1, n2], list(tags))
+
+
+def inj_0070_relation_member(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        n1 = b.nd(lat7, lon7)
+        n2 = b.nd(*_step7(lat7, lon7, 0.8, 100))
+        wid = b.wy([n1, n2], [])  # untagged way
+        if rng.rand() < 0.5:  # negative for 71: member of tagged relation
+            b.rl([("W", wid, "outer")], [("type", "multipolygon")])
+
+
 INJECTORS = [
     (inj_0020_duplicate_nodes, 4),
     (inj_0060_deprecated, 4),
     (inj_0210_loopings, 3),
+    (inj_0120_short_ways, 2),
+    (inj_0150_0160_crossings, 3),
+    (inj_0320_links, 3),
+    (inj_0350_bridges, 3),
+    (inj_0360_language, 2),
+    (inj_0420_suspicious, 4),
+    (inj_0070_relation_member, 2),
 ]
 
 

@@ -49,7 +49,7 @@ def finish_errors(
     df: DataFrame,
     error_type,
     object_type: str | None,
-    msgid: str,
+    msgid: str | None,
     **txts,
 ) -> DataFrame:
     """Normalize a check's result to the _tmp_errors shape.
@@ -65,7 +65,8 @@ def finish_errors(
         out = out.withColumn("error_type", et.cast("int"))
     if object_type is not None and "object_type" not in out.columns:
         out = out.withColumn("object_type", F.lit(object_type))
-    out = out.withColumn("msgid", F.lit(msgid))
+    if msgid is not None or "msgid" not in out.columns:
+        out = out.withColumn("msgid", F.lit(msgid))
     for name, col in txts.items():
         out = out.withColumn(name, col)
     for c in ["lat", "lon"]:

@@ -70,9 +70,21 @@ def err_select(
 
 
 # location resolution + half-open clip; expects an ``err`` CTE with the
-# err_select columns.  Mirrors errors.resolve_locations (node → own
-# coords, way → first node, relation → pinned member choice).
+# err_select columns.  Mirrors errors.dedupe_errors (deterministic
+# insert-ignore winner: lexicographically smallest payload, NULLS
+# FIRST) + errors.resolve_locations (node → own coords, way → first
+# node, relation → pinned member choice).
 _FINALIZE = """
+err_dedup AS (
+    SELECT * EXCLUDE (rn) FROM (
+        SELECT e.*, ROW_NUMBER() OVER (
+            PARTITION BY tile, error_type, object_type, object_id, lat_d, lon_d
+            ORDER BY msgid ASC NULLS FIRST, txt1 ASC NULLS FIRST,
+                     txt2 ASC NULLS FIRST, txt3 ASC NULLS FIRST,
+                     txt4 ASC NULLS FIRST, txt5 ASC NULLS FIRST) AS rn
+        FROM err e)
+    WHERE rn = 1
+),
 rel_node_loc AS (
     SELECT m.tile, m.relation_id,
            arg_min(n.lat, m.sequence_id) AS lat,
@@ -104,7 +116,7 @@ resolved AS (
            CAST(ROUND(COALESCE(e.lat_d, 1e7 * COALESCE(n.lat, w.first_node_lat, r.lat))) AS BIGINT) AS lat,
            CAST(ROUND(COALESCE(e.lon_d, 1e7 * COALESCE(n.lon, w.first_node_lon, r.lon))) AS BIGINT) AS lon,
            e.msgid, e.txt1, e.txt2, e.txt3, e.txt4, e.txt5
-    FROM err e
+    FROM err_dedup e
     LEFT JOIN nodes n ON e.object_type='node' AND e.tile=n.tile AND e.object_id=n.id
     LEFT JOIN ways w  ON e.object_type='way'  AND e.tile=w.tile AND e.object_id=w.id
     LEFT JOIN rel_loc r ON e.object_type='relation' AND e.tile=r.tile
@@ -153,3 +165,599 @@ err AS (
     GROUP BY n.tile, d.lon, d.lat
 )"""
     return wrap(d, body)
+
+
+def _sq(s: str) -> str:
+    """SQL string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _html(expr: str) -> str:
+    from .lib import HTML_ESCAPE_SQL
+
+    return HTML_ESCAPE_SQL.format(expr)
+
+
+ALL_TAGS_SQL = """
+all_tags AS (
+    SELECT tile, node_id AS id, 'node' AS otype, k, v FROM node_tags
+    UNION ALL
+    SELECT tile, way_id AS id, 'way' AS otype, k, v FROM way_tags
+    UNION ALL
+    SELECT tile, relation_id AS id, 'relation' AS otype, k, v FROM relation_tags
+)"""
+
+
+def oracle_0060(d: str) -> str:
+    from .data_tables import DEPRECATED_RULES
+
+    vals = ",\n        ".join(
+        f"({i}, {_sq(k)}, {'NULL' if v == '*' else _sq(v)}, "
+        f"{_sq(r.strip())}, {str(len(r.strip()) > 1).upper()})"
+        for i, k, v, r in DEPRECATED_RULES
+    )
+    # SQL-escaped form of: This $1 uses deprecated tag '$2=$3'
+    msg_base = "This $1 uses deprecated tag ''$2=$3''"
+    body = f"""
+{ALL_TAGS_SQL},
+rules(rule_idx, rk, rv, repl, has_repl) AS (
+    VALUES {vals}
+),
+matches AS (
+    SELECT t.tile, t.id, t.otype, t.k, t.v, r.repl, r.has_repl,
+           ROW_NUMBER() OVER (PARTITION BY t.tile, t.otype, t.id
+                              ORDER BY r.rule_idx) AS rn
+    FROM all_tags t JOIN rules r
+      ON t.k LIKE r.rk AND (r.rv IS NULL OR t.v LIKE r.rv)
+),
+err AS (
+    SELECT {err_select(60, 'otype', 'id',
+        f"CASE WHEN has_repl THEN '{msg_base}. Please use &quot;$4&quot; instead!' ELSE '{msg_base}' END",
+        txt1='otype', txt2=_html('k'), txt3=_html('v'),
+        txt4="CASE WHEN has_repl THEN TRIM(repl) ELSE '' END")}
+    FROM matches WHERE rn = 1
+)"""
+    return wrap(d, body)
+
+
+def oracle_0070(d: str) -> str:
+    taglist = (
+        "string_agg('\"' || COALESCE(k,'') || '=' || COALESCE(v,'') || '\"', "
+        "', ' ORDER BY k, v)"
+    )
+    empty = "(k IS NULL OR LENGTH(TRIM(k))=0 OR v IS NULL OR LENGTH(TRIM(v))=0)"
+    e74 = "\n    UNION ALL\n".join(
+        f"""    SELECT {err_select(74, ot, 'id', "'This $1 has an empty tag: $2'",
+            txt1=f"'{ot}'", txt2=_html(taglist))}
+    FROM (SELECT tile, {ot}_id AS id, k, v FROM {ot}_tags WHERE {empty})
+    GROUP BY tile, id"""
+        for ot in ("node", "way", "relation")
+    )
+    e75 = "\n    UNION ALL\n".join(
+        f"""    SELECT {err_select(75, ot, 't.id',
+            f"'This {ot} has a name ($1) but no other tag'", txt1='t.v')}
+    FROM (SELECT tile, {ot}_id AS id, k, v FROM {ot}_tags) t
+    WHERE t.k='name' AND NOT EXISTS (
+        SELECT 1 FROM {ot}_tags o
+        WHERE o.tile=t.tile AND o.{ot}_id=t.id AND o.k <> 'name')"""
+        for ot in ("way", "node")
+    )
+    body = f"""
+err AS (
+{e74}
+    UNION ALL
+    SELECT {err_select(71, 'way', 'w.id', "'This way has no tags'")}
+    FROM ways w
+    WHERE NOT EXISTS (
+        SELECT 1 FROM way_tags t WHERE t.tile=w.tile AND t.way_id=w.id
+          AND t.k NOT IN ('created_by','source'))
+      AND NOT EXISTS (
+        SELECT 1 FROM relation_members rm
+        JOIN relation_tags rt ON rm.tile=rt.tile AND rm.relation_id=rt.relation_id
+        WHERE rm.tile=w.tile AND rm.member_id=w.id AND rm.member_type='W'
+          AND rt.k IS NOT NULL)
+    UNION ALL
+    SELECT {err_select(72, 'node', 'n.id',
+        "'This node is not member of any way and does not have any tags'")}
+    FROM nodes n
+    WHERE NOT EXISTS (SELECT 1 FROM way_nodes wn
+                      WHERE wn.tile=n.tile AND wn.node_id=n.id)
+      AND NOT EXISTS (SELECT 1 FROM node_tags nt
+                      WHERE nt.tile=n.tile AND nt.node_id=n.id)
+      AND NOT EXISTS (SELECT 1 FROM relation_members rm
+                      WHERE rm.tile=n.tile AND rm.member_id=n.id
+                        AND rm.member_type='N')
+    UNION ALL
+    SELECT {err_select(73, 'way', 't.way_id',
+        "'This way has a $1 tag but no highway tag'", txt1='MIN(t.k)')}
+    FROM way_tags t
+    WHERE t.k IN ('tracktype','lanes') AND NOT EXISTS (
+        SELECT 1 FROM way_tags w
+        WHERE w.tile=t.tile AND w.way_id=t.way_id
+          AND (w.k IN ('highway','disused:highway','razed:highway',
+                       'abandoned:highway','proposed:highway','piste:type')
+               OR (w.k='leisure' AND w.v='track')))
+    GROUP BY t.tile, t.way_id
+    UNION ALL
+{e75}
+)"""
+    return wrap(d, body)
+
+
+def oracle_0090(d: str) -> str:
+    msg = (
+        "'This way is tagged as motorway and therefore needs a ref, "
+        "nat_ref or int_ref tag'"
+    )
+    body = f"""
+err AS (
+    SELECT {err_select(90, 'way', 'b.way_id', msg)}
+    FROM (SELECT DISTINCT tile, way_id FROM way_tags
+          WHERE k='highway' AND v='motorway') b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM way_tags wt WHERE wt.tile=b.tile AND wt.way_id=b.way_id
+          AND wt.k IN ('noref','ref','nat_ref','int_ref'))
+      AND NOT EXISTS (
+        SELECT 1 FROM relation_members rm
+        JOIN relation_tags rt ON rt.tile=rm.tile AND rt.relation_id=rm.relation_id
+        WHERE rm.tile=b.tile AND rm.member_type='W' AND rm.member_id=b.way_id
+          AND rt.k IN ('noref','ref','nat_ref','int_ref'))
+)"""
+    return wrap(d, body)
+
+
+def oracle_0100(d: str) -> str:
+    msg = "'This $1 is tagged as place of worship and therefore needs a religion tag'"
+    parts = "\n    UNION ALL\n".join(
+        f"""    SELECT {err_select(100, ot, 'b.id', msg, txt1=f"'{ot}'")}
+    FROM (SELECT DISTINCT tile, {ot}_id AS id FROM {ot}_tags
+          WHERE k='amenity' AND v='place_of_worship') b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM {ot}_tags t WHERE t.tile=b.tile AND t.{ot}_id=b.id
+          AND t.k IN ('religion','denomination'))"""
+        for ot in ("node", "way")
+    )
+    return wrap(d, f"err AS (\n{parts}\n)")
+
+
+def oracle_0110(d: str) -> str:
+    groups = [
+        (
+            "'place_of_worship','pub','restaurant','school','university',"
+            "'hospital','library','theatre','courthouse'",
+            "'name'",
+            "'This node is tagged as $1 and therefore needs a name tag'",
+        ),
+        (
+            "'bank','cinema','pharmacy','cafe'",
+            "'name','operator'",
+            "'This node is tagged as $1 and therefore needs a name tag or an operator tag'",
+        ),
+        (
+            "'fast_food','fuel'",
+            "'name','operator','brand'",
+            "'This node is tagged as $1 and therefore needs a name, operator or brand tag'",
+        ),
+    ]
+    parts = "\n    UNION ALL\n".join(
+        f"""    SELECT {err_select(110, 'node', 'b.node_id', msg, txt1=_html('b.v'))}
+    FROM (SELECT tile, node_id, MIN(v) AS v FROM node_tags
+          WHERE k='amenity' AND v IN ({am}) GROUP BY tile, node_id) b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM node_tags nt WHERE nt.tile=b.tile AND nt.node_id=b.node_id
+          AND nt.k IN ({need}))"""
+        for am, need, msg in groups
+    )
+    return wrap(d, f"err AS (\n{parts}\n)")
+
+
+def oracle_0120(d: str) -> str:
+    body = f"""
+err AS (
+    SELECT {err_select('node_count + 120', 'way', 'id',
+        "CASE WHEN node_count=0 THEN 'This way has no nodes' ELSE 'This way has just one single node' END")}
+    FROM ways WHERE node_count < 2
+)"""
+    return wrap(d, body)
+
+
+def oracle_0150(d: str) -> str:
+    msg = (
+        "'This crossing of a highway and a railway needs to be tagged as "
+        "railway=crossing or railway=level_crossing'"
+    )
+    body = f"""
+railway_nodes AS (
+    SELECT DISTINCT wn.tile, wn.way_id, wn.node_id
+    FROM way_tags wt JOIN way_nodes wn
+      ON wt.tile=wn.tile AND wt.way_id=wn.way_id
+    WHERE wt.k='railway' AND wt.v NOT IN
+        ('disused','dismantled','abandoned','preproposed','proposed',
+         'tram','tram:disused','tram;disused','construction',
+         'platform','Platform','plattform','plateform','razed',
+         'station','abandoned_station','station_site','disused_station')
+      AND NOT EXISTS (
+        SELECT 1 FROM way_tags t WHERE t.tile=wt.tile AND t.way_id=wt.way_id
+          AND t.k='disused' AND t.v IN ('yes','true','1'))
+),
+err AS (
+    SELECT DISTINCT {err_select(150, 'node', 'r.node_id', msg, tile='r.tile')}
+    FROM railway_nodes r
+    WHERE EXISTS (
+        SELECT 1 FROM way_nodes wn
+        WHERE wn.tile=r.tile AND wn.node_id=r.node_id AND wn.way_id<>r.way_id
+          AND EXISTS (SELECT 1 FROM way_tags wt
+                      WHERE wt.tile=wn.tile AND wt.way_id=wn.way_id
+                        AND wt.k='highway'
+                        AND wt.v NOT IN ('construction','preproposed','proposed','service')))
+      AND NOT EXISTS (
+        SELECT 1 FROM node_tags nt
+        WHERE nt.tile=r.tile AND nt.node_id=r.node_id AND nt.k='railway'
+          AND nt.v IN ('level_crossing','crossing','station'))
+)"""
+    return wrap(d, body)
+
+
+def oracle_0160(d: str) -> str:
+    from .lib import WAY_LAYERS_SQL
+
+    m1 = "'There are ways in different layers coming together in this railway crossing'"
+    m2 = "'There are ways tagged as tunnel or bridge coming together in this railway crossing'"
+    body = f"""
+{WAY_LAYERS_SQL.strip().rstrip(')')}),
+lc_member AS (
+    SELECT DISTINCT wn.tile, wn.way_id, wn.node_id
+    FROM way_nodes wn
+    WHERE EXISTS (SELECT 1 FROM node_tags nt
+                  WHERE nt.tile=wn.tile AND nt.node_id=wn.node_id
+                    AND nt.k='railway' AND nt.v='level_crossing')
+),
+err AS (
+    SELECT {err_select(160, 'node', 'm.node_id', m1, tile='m.tile')}
+    FROM lc_member m JOIN way_layers l ON m.tile=l.tile AND m.way_id=l.way_id
+    GROUP BY m.tile, m.node_id
+    HAVING COUNT(DISTINCT l.layer) > 1
+    UNION ALL
+    SELECT DISTINCT {err_select(160, 'node', 'm.node_id', m2, tile='m.tile')}
+    FROM lc_member m
+    WHERE EXISTS (SELECT 1 FROM way_tags wt
+                  WHERE wt.tile=m.tile AND wt.way_id=m.way_id
+                    AND wt.k IN ('bridge','tunnel')
+                    AND wt.v NOT IN ('no','false','0'))
+)"""
+    return wrap(d, body)
+
+
+def oracle_0170(d: str) -> str:
+    cond = (
+        "(k ILIKE '%fixme%' OR v ILIKE '%fixme%' OR (k='name' AND v='tbd') "
+        "OR (k='ref' AND v='tbd') OR (k='highway' AND v='road'))"
+    )
+    taglist = (
+        "string_agg('\"' || COALESCE(k,'') || '=' || COALESCE(v,'') || '\"', "
+        "', ' ORDER BY k, v)"
+    )
+    parts = "\n    UNION ALL\n".join(
+        f"""    SELECT {err_select(170, ot, 'id', "'$1'", txt1=_html(taglist))}
+    FROM (SELECT tile, {ot}_id AS id, k, v FROM {ot}_tags WHERE {cond})
+    GROUP BY tile, id"""
+        for ot in ("node", "way", "relation")
+    )
+    return wrap(d, f"err AS (\n{parts}\n)")
+
+
+def oracle_0180(d: str) -> str:
+    msg = "'This relation has no type tag, which is mandatory for relations'"
+    body = f"""
+err AS (
+    SELECT {err_select(180, 'relation', 'r.id', msg)}
+    FROM relations r
+    WHERE NOT EXISTS (SELECT 1 FROM relation_tags t
+                      WHERE t.tile=r.tile AND t.relation_id=r.id AND t.k='type')
+)"""
+    return wrap(d, body)
+
+
+def oracle_0210(d: str) -> str:
+    m210 = "'This way contains node #$1 $2 times. This may or may not be an error'"
+    m211 = (
+        "'This way contains more than one node at least twice. Nodes are $1. "
+        "This may or may not be an error'"
+    )
+    m212 = (
+        "'This way has only two different nodes and contains one of them "
+        "more than once'"
+    )
+    body = f"""
+node_count AS (
+    SELECT tile, way_id, node_id, COUNT(sequence_id) AS node_count
+    FROM way_nodes GROUP BY tile, way_id, node_id
+    HAVING COUNT(sequence_id) > 1
+),
+over2 AS (
+    SELECT c.tile, c.way_id, c.node_id, c.node_count,
+           1e7*n.lat AS lat, 1e7*n.lon AS lon,
+           ROW_NUMBER() OVER (PARTITION BY c.tile, c.way_id, 1e7*n.lat, 1e7*n.lon
+                              ORDER BY c.node_count DESC, c.node_id DESC) AS rn
+    FROM node_count c JOIN nodes n ON c.tile=n.tile AND c.node_id=n.id
+    WHERE c.node_count > 2
+),
+err AS (
+    SELECT {err_select(210, 'way', 'way_id', m210,
+        txt1='CAST(node_id AS VARCHAR)', txt2='CAST(node_count AS VARCHAR)',
+        lat_d='lat', lon_d='lon')}
+    FROM over2 WHERE rn = 1
+    UNION ALL
+    SELECT {err_select(211, 'way', 'way_id', m211,
+        txt1="string_agg('#' || node_id, ', ' ORDER BY node_id)")}
+    FROM node_count
+    GROUP BY tile, way_id
+    HAVING COUNT(node_id) > 1
+    UNION ALL
+    SELECT DISTINCT {err_select(212, 'way', 'nc.way_id', m212, tile='nc.tile')}
+    FROM node_count nc
+    WHERE EXISTS (
+        SELECT 1 FROM way_nodes wn
+        WHERE wn.tile=nc.tile AND wn.way_id=nc.way_id
+        GROUP BY wn.tile, wn.way_id
+        HAVING COUNT(DISTINCT wn.node_id) <= 2)
+)"""
+    return wrap(d, body)
+
+
+def oracle_0300(d: str) -> str:
+    from .lib import WAY_LENGTHS_SQL
+
+    body = f"""
+{WAY_LENGTHS_SQL.strip().rstrip(')')}),
+err AS (
+    SELECT {err_select(300, 'way', 'w.id', "'missing maxspeed tag'", tile='w.tile')}
+    FROM ways w JOIN way_lengths l ON w.tile=l.tile AND w.id=l.way_id
+    WHERE EXISTS (
+        SELECT 1 FROM way_tags wt WHERE wt.tile=w.tile AND wt.way_id=w.id
+          AND wt.k='highway' AND wt.v IN ('motorway','trunk','primary','secondary'))
+      AND NOT EXISTS (
+        SELECT 1 FROM way_tags wt WHERE wt.tile=w.tile AND wt.way_id=w.id
+          AND (wt.k IN ('maxspeed','maxspeed:forward','maxspeed:backward')
+               OR (wt.k='junction' AND wt.v='roundabout')
+               OR (wt.k IN ('bridge','tunnel') AND wt.v NOT IN ('no','false','0'))))
+      AND l.length > 50
+)"""
+    return wrap(d, body)
+
+
+def oracle_0320(d: str) -> str:
+    msg = (
+        "'This way is tagged as highway=$1_link but doesn''t have a connection "
+        "to any other $1 or $1_link'"
+    )
+    body = f"""
+links AS (
+    SELECT DISTINCT tile, way_id, substr(v, 1, strpos(v, '_')-1) AS cls
+    FROM way_tags
+    WHERE k='highway' AND v IN ('motorway_link','trunk_link','primary_link','secondary_link')
+),
+matched AS (
+    SELECT DISTINCT l.tile, l.way_id
+    FROM links l
+    JOIN way_nodes wn ON wn.tile=l.tile AND wn.way_id=l.way_id
+    JOIN way_nodes wn2 ON wn2.tile=l.tile AND wn2.node_id=wn.node_id
+                      AND wn2.way_id <> l.way_id
+    JOIN way_tags ht ON ht.tile=l.tile AND ht.way_id=wn2.way_id
+                    AND ht.k='highway'
+                    AND (ht.v=l.cls OR ht.v=l.cls || '_link')
+),
+err AS (
+    SELECT {err_select(320, 'way', 'l.way_id', msg, txt1='l.cls', tile='l.tile')}
+    FROM links l
+    WHERE NOT EXISTS (SELECT 1 FROM matched m
+                      WHERE m.tile=l.tile AND m.way_id=l.way_id)
+)"""
+    return wrap(d, body)
+
+
+def oracle_0350(d: str) -> str:
+    wt = (
+        "'highway','railway','cycleway','waterway','footway','piste',"
+        "'piste:type','aerialway','pipeline','building','via_ferrata',"
+        "'public_transport','man_made'"
+    )
+    msg = (
+        "'This bridge does not have a tag in common with its surrounding ways "
+        "that shows the purpose of this bridge. There should be one of these "
+        "tags: $1'"
+    )
+    body = f"""
+bridges AS (
+    SELECT b.tile, b.way_id, w.first_node_id, w.last_node_id
+    FROM (SELECT DISTINCT tile, way_id FROM way_tags
+          WHERE k='bridge' AND v NOT IN ('no','false','0')) b
+    JOIN ways w ON w.tile=b.tile AND w.id=b.way_id
+),
+bridge_tags0 AS (
+    SELECT t.tile, t.way_id, t.k, t.v
+    FROM way_tags t JOIN bridges b ON t.tile=b.tile AND t.way_id=b.way_id
+    WHERE t.k IN ({wt})
+),
+bridge_tags AS (
+    SELECT * FROM bridge_tags0
+    UNION ALL
+    SELECT tile, way_id, 'building', '' FROM bridge_tags0
+    WHERE k='man_made' AND v='pipeline'
+),
+neighbours AS (
+    SELECT DISTINCT b.tile, b.way_id, wn.way_id AS nb_way_id
+    FROM bridges b JOIN way_nodes wn
+      ON wn.tile=b.tile AND wn.node_id IN (b.first_node_id, b.last_node_id)
+),
+nb_tags AS (
+    SELECT DISTINCT n.tile, n.way_id, t.k, t.v
+    FROM neighbours n JOIN way_tags t
+      ON t.tile=n.tile AND t.way_id=n.nb_way_id
+    WHERE t.k IN ({wt})
+),
+err AS (
+    SELECT {err_select(350, 'way', 'tn.way_id', msg, tile='tn.tile',
+        txt1=_html("string_agg(tn.k || '=' || tn.v, ',' ORDER BY tn.k, tn.v)"))}
+    FROM nb_tags tn LEFT JOIN bridge_tags tb
+      ON tb.tile=tn.tile AND tb.way_id=tn.way_id AND tb.k=tn.k AND tb.v=tn.v
+    GROUP BY tn.tile, tn.way_id
+    HAVING bool_and(tb.way_id IS NULL)
+)"""
+    return wrap(d, body)
+
+
+def oracle_0360(d: str) -> str:
+    msg = (
+        "'It would be nice if this $1 had an additional tag ''name:XX=$2'' "
+        "where XX shows the language of its name ''$2''.'"
+    )
+    parts = "\n    UNION ALL\n".join(
+        f"""    SELECT {err_select(360, ot, 't.id', msg,
+            txt1=f"'{ot}'", txt2=_html('MAX(t.v)'))}
+    FROM (SELECT tile, {ot}_id AS id, k, v FROM {ot}_tags) t
+    WHERE t.k='name' AND EXISTS (
+        SELECT 1 FROM {ot}_tags o
+        WHERE o.tile=t.tile AND o.{ot}_id=t.id AND o.k LIKE 'name:__')
+      AND NOT EXISTS (
+        SELECT 1 FROM {ot}_tags o
+        WHERE o.tile=t.tile AND o.{ot}_id=t.id AND o.v=t.v AND o.k LIKE 'name:__')
+    GROUP BY t.tile, t.id"""
+        for ot in ("node", "way", "relation")
+    )
+    return wrap(d, f"err AS (\n{parts}\n)")
+
+
+def oracle_0380(d: str) -> str:
+    msg = (
+        "'This way is tagged $1 but has no physical tag like e.g. leisure, "
+        "building, amenity or highway'"
+    )
+    body = f"""
+err AS (
+    SELECT {err_select(380, 'way', 't.way_id', msg, tile='t.tile',
+        txt1="'sport=' || " + _html('MIN(t.v)'))}
+    FROM way_tags t
+    WHERE t.k='sport' AND NOT EXISTS (
+        SELECT 1 FROM way_tags o
+        WHERE o.tile=t.tile AND o.way_id=t.way_id
+          AND (o.k IN ('leisure','piste','building','natural','landuse',
+                       'highway','bridge','ski_resort','route','tourism',
+                       'amenity','shop')
+               OR o.k LIKE 'piste:%'))
+    GROUP BY t.tile, t.way_id
+)"""
+    return wrap(d, body)
+
+
+def oracle_0390(d: str) -> str:
+    body = f"""
+err AS (
+    SELECT {err_select(390, 'way', 't.way_id', quote_msg_390(), tile='t.tile')}
+    FROM way_tags t
+    WHERE t.k='highway' AND t.v='track' AND NOT EXISTS (
+        SELECT 1 FROM way_tags o
+        WHERE o.tile=t.tile AND o.way_id=t.way_id AND o.k='tracktype')
+    GROUP BY t.tile, t.way_id
+)"""
+    return wrap(d, body)
+
+
+def quote_msg_390() -> str:
+    return "'This track doesn''t have a tracktype'"
+
+
+def oracle_0420(d: str) -> str:
+    msg_incline = (
+        "'This $1 is tagged incline=$2 which seems to not use the correct "
+        "number format. The unit should be per cent or degrees and no spaces "
+        "should be added'"
+    )
+    msg_unit = (
+        "'This $1 is tagged $2=$3 which seems to not use the correct number "
+        "format. The unit should be meter, kilometer, miles or feet/inch. "
+        "A space should be added between number and unit'"
+    )
+    msg_list = (
+        "'This way is tagged $1=$2. A list of values does not match the "
+        "purpose of this key'"
+    )
+    msg_yesno = (
+        "'This $3 is tagged $1=$2. Having yes and no both in the same value "
+        "seems wrong.'"
+    )
+    msg_combo = (
+        "'This object is tagged $1 = $2 and $3 = $4 which seems wrong. "
+        "Consider $5.'"
+    )
+    height_keys = (
+        "'height','maxheight','min_height','width','maxwidth','distance',"
+        "'length','maxlength'"
+    )
+    list_keys = (
+        "'maxspeed','oneway','cycleway','sidewalk','highway','landuse',"
+        "'tracktype','layer','width','lanes','smoothness','trail_visibility'"
+    )
+    per_type = []
+    for ot in ("node", "way", "relation"):
+        t = f"{ot}_tags"
+        i = f"{ot}_id"
+        per_type.append(f"""    SELECT {err_select(421, ot, f'b.{i}', msg_incline,
+            txt1=f"'{ot}'", txt2='b.v', tile='b.tile')}
+    FROM {t} b
+    WHERE b.k='incline' AND b.v <> '0' AND regexp_matches(b.v, '\\d')
+      AND NOT regexp_matches(b.v, '^[+-]?\\d+(\\.\\d+)?[%°]?$')
+    UNION ALL
+    SELECT {err_select(421, ot, f'b.{i}', msg_unit,
+            txt1=f"'{ot}'", txt2='b.k', txt3='b.v', tile='b.tile')}
+    FROM {t} b
+    WHERE b.k IN ({height_keys}) AND regexp_matches(b.v, '\\d')
+      AND NOT regexp_matches(b.v, '^[+-]?\\d+(\\.\\d+)?(\\s(m|km|mi|nmi))?$')
+      AND NOT regexp_matches(b.v, '^\\d+''\\d+"$')
+    UNION ALL
+    SELECT {err_select(421, ot, f'b.{i}', msg_unit,
+            txt1=f"'{ot}'", txt2='b.k', txt3='b.v', tile='b.tile')}
+    FROM {t} b
+    WHERE b.k IN ('maxspeed','minspeed') AND regexp_matches(b.v, '\\d')
+      AND NOT regexp_matches(b.v, '^\\d+(\\.\\d+)?(\\s(km/h|mph|knots))?$')
+    UNION ALL
+    SELECT {err_select(422, ot, f'b.{i}', msg_yesno,
+            txt1='b.k', txt2='b.v', txt3=f"'{ot}'", tile='b.tile')}
+    FROM {t} b
+    WHERE regexp_matches(b.v, '(yes|no)\\s*;\\s*(yes|no)')
+    UNION ALL
+    SELECT {err_select(424, ot, f'b.{i}', msg_combo,
+            txt1="'golf'", txt2="'bunker'", txt3="'natural'",
+            txt4="'beach'", txt5="'natural=sand'", tile='b.tile')}
+    FROM {t} b
+    WHERE b.k='golf' AND b.v='bunker' AND EXISTS (
+        SELECT 1 FROM {t} w WHERE w.tile=b.tile AND w.{i}=b.{i}
+          AND w.k='natural' AND w.v='beach')""")
+    parts = "\n    UNION ALL\n".join(per_type)
+    body = f"""
+err AS (
+{parts}
+    UNION ALL
+    SELECT {err_select(422, 'way', 'b.way_id', msg_list,
+        txt1='b.k', txt2='b.v', tile='b.tile')}
+    FROM way_tags b
+    WHERE b.k IN ({list_keys}) AND b.v LIKE '%;%'
+    UNION ALL
+    SELECT {err_select(423, 'way', 'b.way_id',
+        quote_msg_423('way'), txt1='b.k', tile='b.tile')}
+    FROM way_tags b
+    WHERE b.k='addr:housename' AND regexp_matches(b.v, '^\\d+$')
+    UNION ALL
+    SELECT {err_select(423, 'node', 'b.node_id',
+        quote_msg_423('node'), txt1='b.k', tile='b.tile')}
+    FROM node_tags b
+    WHERE b.k='addr:housename' AND regexp_matches(b.v, '^\\d+$')
+)"""
+    return wrap(d, body)
+
+
+def quote_msg_423(ot: str) -> str:
+    return (
+        f"'This {ot} is tagged with $1 and a numeric value. "
+        "This is rather unusual.'"
+    )
