@@ -31,7 +31,7 @@ from .codec import DOCS_ARROW_SCHEMA, encode_object, fmt_coord
 from .mercator import merc_x, merc_y
 from .tiling import DEFAULT_MARGIN_M, DEFAULT_TILES, Tile
 
-GEN_VERSION = 3  # bump to force dataset regeneration
+GEN_VERSION = 4  # bump to force dataset regeneration
 
 # region covering both tiles + margins
 LAT_MIN, LAT_MAX = 47.995, 48.105
@@ -409,6 +409,97 @@ def inj_0420_suspicious(b: World, rng: np.random.RandomState, n: int) -> None:
             b.wy([n1, n2], list(tags))
 
 
+def inj_0040_oneways(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(5)
+        if variant in (0, 1):
+            # dangling oneway: start connected to a cross way, end free
+            a = b.nd(lat7, lon7)
+            m = b.nd(*_step7(lat7, lon7, 0.3, 100))
+            c = b.nd(*_step7(lat7, lon7, 0.3, 200))
+            x = b.nd(*_step7(lat7, lon7, 2.0, 90))
+            b.wy([a, x], [("highway", "residential")])  # connects 'a'
+            ow = [("highway", "residential"), ("oneway", "yes")]
+            if variant == 1:
+                ow = [("highway", "residential"), ("oneway", "-1")]  # reversed
+            b.wy([a, m, c], ow)
+        elif variant == 2:
+            # negative: both ends connected
+            a = b.nd(lat7, lon7)
+            c = b.nd(*_step7(lat7, lon7, 0.3, 150))
+            x = b.nd(*_step7(lat7, lon7, 2.0, 90))
+            y = b.nd(*_step7(lat7, lon7, 4.0, 90))
+            b.wy([a, x], [("highway", "service")])
+            b.wy([c, y], [("highway", "service")])
+            b.wy([a, c], [("highway", "residential"), ("oneway", "yes")])
+        elif variant == 3:
+            # black hole / unreachable junction of two oneways
+            j = b.nd(lat7, lon7)
+            p = b.nd(*_step7(lat7, lon7, 1.0, 150))
+            q = b.nd(*_step7(lat7, lon7, 5.0, 150))
+            if rng.rand() < 0.5:  # both END at j → 43
+                b.wy([p, j], [("highway", "residential"), ("oneway", "yes")])
+                b.wy([q, j], [("highway", "residential"), ("oneway", "yes")])
+            else:  # both START at j → 42
+                b.wy([j, p], [("highway", "residential"), ("oneway", "yes")])
+                b.wy([j, q], [("highway", "residential"), ("oneway", "yes")])
+        else:
+            # closed-loop roundabout: excluded from 40-43
+            pts = [b.nd(*_step7(lat7, lon7, 2 * np.pi * i / 5, 40)) for i in range(5)]
+            b.wy(pts + [pts[0]], [("highway", "residential"),
+                                  ("junction", "roundabout")])
+
+
+def inj_0230_layers(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(6)
+        if variant == 0:
+            # 231: two highways crossing at shared INTERMEDIATE node,
+            # different layers
+            j = b.nd(lat7, lon7)
+            a1 = b.nd(*_step7(lat7, lon7, 0.0, 100))
+            a2 = b.nd(*_step7(lat7, lon7, np.pi, 100))
+            b1 = b.nd(*_step7(lat7, lon7, 1.6, 100))
+            b2 = b.nd(*_step7(lat7, lon7, 1.6 + np.pi, 100))
+            b.wy([a1, j, a2], [("highway", "residential")])
+            b.wy([b1, j, b2], [("highway", "residential"), ("layer", "1")])
+        elif variant == 1:
+            # exception: exactly two ways meeting end-to-end
+            j = b.nd(lat7, lon7)
+            a = b.nd(*_step7(lat7, lon7, 0.0, 120))
+            c = b.nd(*_step7(lat7, lon7, np.pi, 120))
+            b.wy([a, j], [("highway", "secondary"), ("maxspeed", "50")])
+            b.wy([j, c], [("highway", "secondary"), ("bridge", "yes"),
+                          ("maxspeed", "50")])
+        elif variant == 2:
+            # mixed end/intermediate on different layers: candidate but
+            # not all_intermediate → no error
+            j = b.nd(lat7, lon7)
+            a1 = b.nd(*_step7(lat7, lon7, 0.0, 100))
+            a2 = b.nd(*_step7(lat7, lon7, np.pi, 100))
+            c = b.nd(*_step7(lat7, lon7, 1.6, 100))
+            b.wy([a1, j, a2], [("highway", "residential")])
+            b.wy([j, c], [("highway", "residential"), ("layer", "1")])
+        elif variant == 3:
+            a = b.nd(lat7, lon7)
+            c = b.nd(*_step7(lat7, lon7, 1.0, 90))
+            b.wy([a, c], [("highway", "tertiary"), ("bridge", "yes"),
+                          ("layer", "-1")])  # 232
+        elif variant == 4:
+            a = b.nd(lat7, lon7)
+            c = b.nd(*_step7(lat7, lon7, 1.0, 90))
+            b.wy([a, c], [("highway", "tertiary"), ("tunnel", "yes"),
+                          ("layer", "2")])  # 232
+        else:
+            pts = [b.nd(*_step7(lat7, lon7, 0.9, 70 * i)) for i in range(4)]
+            tags = [("waterway", "stream"), ("layer", "-1")]
+            if rng.rand() < 0.4:
+                tags.append(("culvert", "yes"))  # negative for 233
+            b.wy(pts, tags)
+
+
 def inj_0070_relation_member(b: World, rng: np.random.RandomState, n: int) -> None:
     for _ in range(n):
         lat7, lon7 = _rand_pt(rng)
@@ -430,6 +521,8 @@ INJECTORS = [
     (inj_0360_language, 2),
     (inj_0420_suspicious, 4),
     (inj_0070_relation_member, 2),
+    (inj_0040_oneways, 4),
+    (inj_0230_layers, 4),
 ]
 
 

@@ -761,3 +761,145 @@ def quote_msg_423(ot: str) -> str:
         f"'This {ot} is tagged with $1 and a numeric value. "
         "This is rather unusual.'"
     )
+
+
+def oracle_0040(d: str) -> str:
+    from .lib import FIND_ONEWAYS_SQL
+
+    msg_f = "'The first node (id $1) of this one-way is not connected to any other way'"
+    msg_l = "'The last node (id $1) of this one-way is not connected to any other way'"
+    msg_42 = "'This node cannot be reached, because one-ways only lead away from here'"
+    msg_43 = "'You cannot escape from this node, because one-ways only lead to here'"
+
+    def dangling(which: str, etype: int, msg: str) -> str:
+        return f"""    SELECT {err_select(etype, 'way', 'o.way_id', msg,
+            txt1=f'CAST(o.{which}_node_id AS VARCHAR)',
+            lat_d=f'1e7*o.{which}_node_lat', lon_d=f'1e7*o.{which}_node_lon',
+            tile='o.tile')}
+    FROM one_ways o
+    WHERE o.first_node_id <> o.last_node_id
+      AND NOT EXISTS (SELECT 1 FROM node_tags nt
+                      WHERE nt.tile=o.tile AND nt.node_id=o.{which}_node_id
+                        AND nt.k='amenity' AND nt.v='parking_entrance')
+      AND NOT EXISTS (SELECT 1 FROM way_nodes wn
+                      WHERE wn.tile=o.tile AND wn.node_id=o.{which}_node_id
+                        AND wn.way_id <> o.way_id)
+      AND NOT EXISTS (SELECT 1 FROM way_nodes wn2
+                      WHERE wn2.tile=o.tile AND wn2.node_id=o.{which}_node_id
+                        AND wn2.way_id=o.way_id
+                      GROUP BY wn2.way_id, wn2.node_id
+                      HAVING COUNT(DISTINCT wn2.sequence_id) > 1)"""
+
+    def junction(which: str, etype: int, msg: str) -> str:
+        return f"""    SELECT {err_select(etype, 'node', 'j.node_id', msg, tile='j.tile')}
+    FROM (
+        SELECT o.tile, o.{which}_node_id AS node_id
+        FROM one_ways o
+        WHERE o.{which}_node_id IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM one_ways x
+                          WHERE x.tile=o.tile AND x.first_node_id=x.last_node_id
+                            AND x.first_node_id=o.{which}_node_id)
+        GROUP BY o.tile, o.{which}_node_id
+        HAVING COUNT(DISTINCT o.way_id) > 1
+    ) j
+    WHERE NOT EXISTS (
+        SELECT 1 FROM way_nodes wn
+        WHERE wn.tile=j.tile AND wn.node_id=j.node_id
+          AND wn.way_id NOT IN (SELECT o.way_id FROM one_ways o
+                                WHERE o.tile=j.tile
+                                  AND o.{which}_node_id=j.node_id))"""
+
+    body = (
+        FIND_ONEWAYS_SQL.strip()
+        + ",\nerr AS (\n"
+        + "\n    UNION ALL\n".join(
+            [
+                dangling("first", 40, msg_f),
+                dangling("last", 41, msg_l),
+                junction("first", 42, msg_42),
+                junction("last", 43, msg_43),
+            ]
+        )
+        + "\n)"
+    )
+    return wrap(d, body)
+
+
+def oracle_0230(d: str) -> str:
+    from .lib import WAY_LAYERS_SQL
+
+    m231 = "'This node is a junction of ways on different layers: $1'"
+    m232 = (
+        "'This $1 is tagged with layer $2. This need not be an error, "
+        "but it looks strange'"
+    )
+    m233 = (
+        "'This waterway has layer=-1 but no tag indicating that it actually is "
+        "underground. Consider adding a tunnel, culvert or pipeline tag or "
+        "remove the layer tag.'"
+    )
+    waylist = _html("'' || layer || ''")
+    body = f"""
+{WAY_LAYERS_SQL.strip().rstrip(')')}),
+highways AS (
+    SELECT DISTINCT tile, way_id FROM way_tags
+    WHERE k='highway' AND v <> 'steps'
+),
+hw_nodes AS (
+    SELECT wn.tile, wn.way_id, wn.node_id
+    FROM way_nodes wn JOIN highways h ON wn.tile=h.tile AND wn.way_id=h.way_id
+),
+junctions AS (
+    SELECT tile, node_id FROM hw_nodes
+    GROUP BY tile, node_id HAVING COUNT(DISTINCT way_id) > 1
+),
+pinfo AS (
+    SELECT p.tile, p.way_id, p.node_id, COALESCE(l.layer, '0') AS layer,
+           (p.node_id=w.first_node_id OR p.node_id=w.last_node_id) AS end_node
+    FROM (SELECT DISTINCT hn.tile, hn.way_id, hn.node_id
+          FROM hw_nodes hn JOIN junctions j
+            ON hn.tile=j.tile AND hn.node_id=j.node_id) p
+    LEFT JOIN way_layers l ON l.tile=p.tile AND l.way_id=p.way_id
+    LEFT JOIN ways w ON w.tile=p.tile AND w.id=p.way_id
+),
+stats AS (
+    SELECT tile, node_id,
+           COUNT(DISTINCT layer) AS nlayers,
+           COUNT(*) AS nrows,
+           bool_and(end_node) AS all_end,
+           bool_and(NOT end_node) AS all_intermediate,
+           string_agg('#' || way_id || '(' || {waylist} || ')',
+                      ',' ORDER BY way_id) AS waylist
+    FROM pinfo GROUP BY tile, node_id
+),
+err AS (
+    SELECT {err_select(231, 'node', 'node_id', m231, txt1='waylist')}
+    FROM stats
+    WHERE nlayers >= 2 AND NOT (nrows = 2 AND all_end) AND all_intermediate
+    UNION ALL
+    SELECT {err_select(232, 'way', 'bt.way_id', m232, tile='bt.tile',
+        txt1=_html('bt.k'), txt2=_html('ly.v'))}
+    FROM way_tags bt JOIN way_tags ly
+      ON ly.tile=bt.tile AND ly.way_id=bt.way_id AND ly.k='layer'
+    WHERE (bt.k='bridge' AND bt.v NOT IN ('no','false','0')
+           AND ly.v IN ('-1','-2','-3','-4','-5'))
+       OR (bt.k='tunnel' AND bt.v NOT IN ('no','false','0','building_passage')
+           AND ly.v IN ('1','2','3','4','5'))
+    UNION ALL
+    SELECT {err_select(233, 'way', 'wt.way_id', m233, tile='wt.tile')}
+    FROM way_tags wt JOIN ways wa ON wt.tile=wa.tile AND wt.way_id=wa.id
+    WHERE wt.k='waterway' AND wa.node_count >= 4
+      AND EXISTS (SELECT 1 FROM way_tags w WHERE w.tile=wt.tile AND w.way_id=wt.way_id
+                    AND w.k='layer' AND w.v IN ('-1','-2','-3','-4','-5'))
+      AND NOT EXISTS (SELECT 1 FROM way_tags w WHERE w.tile=wt.tile AND w.way_id=wt.way_id
+                    AND w.k='tunnel' AND w.v NOT IN ('no','false','0'))
+      AND NOT EXISTS (SELECT 1 FROM way_tags w WHERE w.tile=wt.tile AND w.way_id=wt.way_id
+                    AND w.k='culvert' AND w.v='yes')
+      AND NOT EXISTS (SELECT 1 FROM way_tags w WHERE w.tile=wt.tile AND w.way_id=wt.way_id
+                    AND w.k='covered' AND w.v IN ('yes','true','1'))
+      AND NOT EXISTS (SELECT 1 FROM way_tags w WHERE w.tile=wt.tile AND w.way_id=wt.way_id
+                    AND w.k='pipeline' AND w.v IN ('yes','true','1'))
+      AND NOT EXISTS (SELECT 1 FROM way_tags w WHERE w.tile=wt.tile AND w.way_id=wt.way_id
+                    AND w.k='location' AND w.v='underground')
+)"""
+    return wrap(d, body)
