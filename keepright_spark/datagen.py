@@ -31,7 +31,7 @@ from .codec import DOCS_ARROW_SCHEMA, encode_object, fmt_coord
 from .mercator import merc_x, merc_y
 from .tiling import DEFAULT_MARGIN_M, DEFAULT_TILES, Tile
 
-GEN_VERSION = 4  # bump to force dataset regeneration
+GEN_VERSION = 5  # bump to force dataset regeneration
 
 # region covering both tiles + margins
 LAT_MIN, LAT_MAX = 47.995, 48.105
@@ -500,6 +500,84 @@ def inj_0230_layers(b: World, rng: np.random.RandomState, n: int) -> None:
             b.wy(pts, tags)
 
 
+def _pt_at(lat7: int, lon7: int, east_m: float, north_m: float) -> tuple[int, int]:
+    """Offset a point by meters east/north (approx, snapped to 1e-7)."""
+    return (
+        lat7 + int(round(north_m / M_PER_DEG_LAT * 1e7)),
+        lon7 + int(round(east_m / M_PER_DEG_LON * 1e7)),
+    )
+
+
+def inj_0050_almost_junctions(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(5)
+        # w2: a 200 m west-east street
+        a = b.nd(*_pt_at(lat7, lon7, -100, 0))
+        c = b.nd(*_pt_at(lat7, lon7, 100, 0))
+        b.wy([a, c], [("highway", "residential"), ("name", "base")])
+        if variant in (0, 1, 2):
+            # w1 approaches from the north, ending 5 m short of w2
+            end_tags = [("noexit", "yes")] if variant == 2 else []
+            e = b.nd(*_pt_at(lat7, lon7, 0, 5), end_tags)
+            s = b.nd(*_pt_at(lat7, lon7, 0, 80))
+            b.wy([s, e], [("highway", "residential")])
+            if variant == 1:
+                # barrier fence between them vetoes the candidate
+                f1 = b.nd(*_pt_at(lat7, lon7, -20, 2.5))
+                f2 = b.nd(*_pt_at(lat7, lon7, 20, 2.5))
+                b.wy([f1, f2], [("barrier", "fence")])
+        elif variant == 3:
+            # short spur connected to w2 ~12 m away: 30 m rule excludes
+            e = b.nd(*_pt_at(lat7, lon7, 12, 5))
+            b.wy([a, e], [("highway", "service")])
+        else:
+            # two end nodes 5 m apart on different layers → error
+            e1 = b.nd(*_pt_at(lat7, lon7, 0, 40))
+            s1 = b.nd(*_pt_at(lat7, lon7, 0, 120))
+            b.wy([s1, e1], [("highway", "residential")])
+            e2 = b.nd(*_pt_at(lat7, lon7, 5, 40))
+            s2 = b.nd(*_pt_at(lat7, lon7, 80, 40))
+            b.wy([s2, e2], [("highway", "residential"), ("bridge", "yes"),
+                            ("layer", "1")])
+
+
+def inj_0190_intersections(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(7)
+        p1 = b.nd(*_pt_at(lat7, lon7, -80, -3))
+        p2 = b.nd(*_pt_at(lat7, lon7, 80, 3))
+        p3 = b.nd(*_pt_at(lat7, lon7, -3, -80))
+        p4 = b.nd(*_pt_at(lat7, lon7, 3, 80))
+        if variant == 0:  # highway × highway, no junction → 191
+            b.wy([p1, p2], [("highway", "residential"), ("name", "x1")])
+            b.wy([p3, p4], [("highway", "residential"), ("name", "x2")])
+        elif variant == 1:  # shared node at the crossing → vetoed
+            j = b.nd(lat7, lon7)
+            b.wy([p1, j, p2], [("highway", "residential")])
+            b.wy([p3, j, p4], [("highway", "residential")])
+        elif variant == 2:  # highway × waterway → 192
+            b.wy([p1, p2], [("highway", "residential")])
+            b.wy([p3, p4], [("waterway", "stream")])
+        elif variant == 3:  # different layers → not a pair
+            b.wy([p1, p2], [("highway", "residential")])
+            b.wy([p3, p4], [("highway", "residential"), ("bridge", "yes"),
+                            ("layer", "1")])
+        elif variant == 4:  # riverbank × waterway → excluded pair
+            b.wy([p1, p2], [("waterway", "riverbank")])
+            b.wy([p3, p4], [("waterway", "river")])
+        elif variant == 5:  # collinear overlap via shared nodes → 201
+            q1 = b.nd(*_pt_at(lat7, lon7, 0, 0))
+            q2 = b.nd(*_pt_at(lat7, lon7, 60, 0))
+            b.wy([p1, q1, q2], [("highway", "residential")])
+            s_ = b.nd(*_pt_at(lat7, lon7, 120, 0))
+            b.wy([q1, q2, s_], [("highway", "service")])
+        else:  # cycleway × highway → 196
+            b.wy([p1, p2], [("highway", "residential")])
+            b.wy([p3, p4], [("highway", "cycleway")])
+
+
 def inj_0070_relation_member(b: World, rng: np.random.RandomState, n: int) -> None:
     for _ in range(n):
         lat7, lon7 = _rand_pt(rng)
@@ -523,6 +601,8 @@ INJECTORS = [
     (inj_0070_relation_member, 2),
     (inj_0040_oneways, 4),
     (inj_0230_layers, 4),
+    (inj_0050_almost_junctions, 5),
+    (inj_0190_intersections, 6),
 ]
 
 

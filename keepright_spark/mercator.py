@@ -60,7 +60,15 @@ def merc_lon(x: np.ndarray) -> np.ndarray:
 
 def merc_lat(y: np.ndarray) -> np.ndarray:
     """Mercator meters → lat degrees; iterative inverse
-    (helpers.php:290-306: fixed-point iteration, tol 1e-9, ≤15 iters)."""
+    (helpers.php:290-306: fixed-point iteration, tol 1e-9, ≤15 iters).
+
+    We run all 15 iterations unconditionally (no early exit) so the
+    result is a pure function of y with one fixed op sequence — the
+    DuckDB oracle unrolls the same 15 steps and must produce
+    bit-identical doubles.  The difference vs the reference's early
+    exit is below 1e-11 degrees (the iteration contracts by ~e²≈0.0067
+    per step past the tolerance).
+    """
     y = np.asarray(y, dtype=np.float64)
     ts = np.exp(-y / R_MAJOR)
     phi = (np.pi / 2.0) - 2.0 * np.arctan(ts)
@@ -72,9 +80,42 @@ def merc_lat(y: np.ndarray) -> np.ndarray:
             - phi
         )
         phi = phi + dphi
-        if np.all(np.abs(dphi) <= 1e-9):
-            break
     return phi * _RAD2DEG
+
+
+def merc_lat_wrap(
+    select_sql: str, y_col: str, out: str = "mlat", iterations: int = 15
+) -> str:
+    """Wrap a SELECT producing column ``y_col`` in nested projections
+    that compute merc_lat(y_col) AS <out> with the same 15-step
+    fixed-point iteration as the numpy implementation.
+
+    Nested subqueries (not lateral column aliases!) — DuckDB expands
+    lateral aliases by textual substitution, which is exponential in
+    the iteration count; projection operators evaluate each step once.
+    """
+    drop = ["_ts"]
+    q = f"(SELECT *, EXP(-({y_col}) / {R_MAJOR!r}) AS _ts FROM ({select_sql}))"
+    q = f"(SELECT *, (PI()/2.0 - 2.0*ATAN(_ts)) AS _phi0 FROM {q})"
+    drop.append("_phi0")
+    for i in range(iterations):
+        q = f"(SELECT *, ({_ECCENT!r} * SIN(_phi{i})) AS _con{i} FROM {q})"
+        q = (
+            f"(SELECT *, (_phi{i} + (PI()/2.0 - 2.0*ATAN(_ts * "
+            f"POW((1.0 - _con{i})/(1.0 + _con{i}), {_COM!r})) "
+            f"- _phi{i})) AS _phi{i + 1} FROM {q})"
+        )
+        drop += [f"_con{i}", f"_phi{i + 1}"]
+    q = (
+        f"(SELECT * EXCLUDE ({', '.join(drop)}), "
+        f"(_phi{iterations} * {_RAD2DEG!r}) AS {out} FROM {q})"
+    )
+    return q
+
+
+def merc_lon_sql(x_expr: str) -> str:
+    """DuckDB expression for merc_lon (helpers.php:284-287)."""
+    return f"((({x_expr}) / {R_MAJOR!r}) * {_RAD2DEG!r})"
 
 
 @pandas_udf(DoubleType())

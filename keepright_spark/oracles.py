@@ -903,3 +903,357 @@ err AS (
                     AND w.k='location' AND w.v='underground')
 )"""
     return wrap(d, body)
+
+
+SEGS_SQL = """
+all_segs AS (
+    SELECT tile, way_id, sequence_id AS seg_id, x AS ax, y AS ay,
+           LEAD(x) OVER w AS bx, LEAD(y) OVER w AS by
+    FROM way_nodes
+    WINDOW w AS (PARTITION BY tile, way_id ORDER BY sequence_id)
+    QUALIFY bx IS NOT NULL
+)"""
+
+
+def oracle_0050(d: str) -> str:
+    from .lib import WAY_LAYERS_SQL
+    from .spatial import seg_cross_sql
+
+    veto_cross = seg_cross_sql(
+        "c.x", "c.y", "c.cx", "c.cy", "bs.ax", "bs.ay", "bs.bx", "bs.by"
+    )
+    msg = "'This node is very close but not connected to way #$1'"
+    body = f"""
+{WAY_LAYERS_SQL.strip().rstrip(')')}),
+{SEGS_SQL.strip().rstrip(')')}),
+hw AS (
+    SELECT t.tile, t.way_id, l.layer
+    FROM (SELECT DISTINCT tile, way_id FROM way_tags
+          WHERE k='highway' AND v NOT IN ('construction','proposed','platform')) t
+    JOIN way_layers l ON l.tile=t.tile AND l.way_id=t.way_id
+),
+usage AS (
+    SELECT tile, node_id, COUNT(way_id) AS uses FROM way_nodes
+    GROUP BY tile, node_id
+),
+ends0 AS (
+    SELECT h.tile, h.way_id, w.first_node_id AS node_id, h.layer, 1 AS src
+    FROM hw h JOIN ways w ON w.tile=h.tile AND w.id=h.way_id
+    JOIN usage u ON u.tile=h.tile AND u.node_id=w.first_node_id
+    WHERE u.uses = 1
+    UNION ALL
+    SELECT h.tile, h.way_id, w.last_node_id AS node_id, h.layer, 2 AS src
+    FROM hw h JOIN ways w ON w.tile=h.tile AND w.id=h.way_id
+    JOIN usage u ON u.tile=h.tile AND u.node_id=w.last_node_id
+    WHERE u.uses = 1
+),
+ends1 AS (
+    SELECT * EXCLUDE (rn, src) FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY tile, node_id ORDER BY src) rn
+        FROM ends0) WHERE rn = 1
+),
+ends AS (
+    SELECT e.*, n.x, n.y
+    FROM ends1 e JOIN nodes n ON n.tile=e.tile AND n.id=e.node_id
+    WHERE NOT EXISTS (SELECT 1 FROM node_tags nt
+                      WHERE nt.tile=e.tile AND nt.node_id=e.node_id
+                        AND ((nt.k='noexit' AND nt.v IN ('yes','true','1'))
+                          OR (nt.k='highway' AND nt.v IN ('turning_circle','bus_stop'))
+                          OR nt.k='amenity'))
+      AND NOT EXISTS (SELECT 1 FROM way_tags wt
+                      WHERE wt.tile=e.tile AND wt.way_id=e.way_id
+                        AND wt.k='noexit' AND wt.v IN ('yes','true','1'))
+),
+subjects AS (
+    SELECT * FROM ends e
+    WHERE NOT EXISTS (SELECT 1 FROM node_tags nt
+                      WHERE nt.tile=e.tile AND nt.node_id=e.node_id
+                        AND (nt.k='barrier'
+                          OR (nt.k='railway' AND nt.v='subway_entrance')))
+),
+hsegs AS (
+    SELECT s.*, h.layer FROM all_segs s
+    JOIN hw h ON h.tile=s.tile AND h.way_id=s.way_id
+),
+cand1 AS (
+    SELECT * EXCLUDE (len2, traw, tt) FROM (
+        SELECT e.tile, e.node_id, e.way_id, s.way_id AS nearby_way_id,
+               s.seg_id, e.layer AS layer1, e.layer AS layer2, 1 AS srcq,
+               e.x, e.y,
+               (s.bx-s.ax)*(s.bx-s.ax) + (s.by-s.ay)*(s.by-s.ay) AS len2,
+               ((e.x-s.ax)*(s.bx-s.ax)+(e.y-s.ay)*(s.by-s.ay))/len2 AS traw,
+               CASE WHEN len2 = 0 THEN 0.0
+                    ELSE GREATEST(0.0, LEAST(1.0, traw)) END AS tt,
+               s.ax + tt*(s.bx-s.ax) AS cx,
+               s.ay + tt*(s.by-s.ay) AS cy,
+               (e.x-cx)*(e.x-cx) + (e.y-cy)*(e.y-cy) AS d2
+        FROM subjects e JOIN hsegs s
+          ON s.tile=e.tile AND s.layer=e.layer AND s.way_id <> e.way_id
+         AND e.x >= LEAST(s.ax,s.bx) - 10 AND e.x <= GREATEST(s.ax,s.bx) + 10
+         AND e.y >= LEAST(s.ay,s.by) - 10 AND e.y <= GREATEST(s.ay,s.by) + 10
+    ) WHERE d2 <= 100.0
+),
+cand1m AS (
+    SELECT * EXCLUDE (rn) FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY tile, node_id, way_id, nearby_way_id
+            ORDER BY d2, seg_id, cx, cy) rn
+        FROM cand1) WHERE rn = 1
+),
+cand2 AS (
+    SELECT * FROM (
+        SELECT e1.tile, e1.node_id, e1.way_id, e2.way_id AS nearby_way_id,
+               0 AS seg_id, e1.layer AS layer1, e2.layer AS layer2, 2 AS srcq,
+               e1.x, e1.y, e2.x AS cx, e2.y AS cy,
+               (e1.x-e2.x)*(e1.x-e2.x) + (e1.y-e2.y)*(e1.y-e2.y) AS d2
+        FROM subjects e1 JOIN ends e2
+          ON e2.tile=e1.tile AND e2.way_id <> e1.way_id
+         AND e2.layer <> e1.layer
+    ) WHERE d2 <= 100.0
+),
+cands AS (
+    SELECT tile, node_id, way_id, nearby_way_id, layer1, layer2, srcq,
+           x, y, cx, cy, d2
+    FROM cand1m
+    UNION ALL
+    SELECT tile, node_id, way_id, nearby_way_id, layer1, layer2, srcq,
+           x, y, cx, cy, d2
+    FROM cand2
+),
+bsegs AS (
+    SELECT s.*, l.layer FROM all_segs s
+    JOIN (SELECT DISTINCT tile, way_id FROM way_tags WHERE k='barrier') b
+      ON b.tile=s.tile AND b.way_id=s.way_id
+    JOIN way_layers l ON l.tile=s.tile AND l.way_id=s.way_id
+),
+kept AS (
+    SELECT c.* FROM cands c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM bsegs bs
+        WHERE bs.tile=c.tile
+          AND (bs.layer=c.layer1 OR (c.srcq=2 AND bs.layer=c.layer2))
+          AND ({veto_cross}))
+      AND NOT EXISTS (
+        SELECT 1 FROM way_nodes wn1
+        JOIN way_nodes wn2 ON wn2.tile=wn1.tile AND wn2.node_id=wn1.node_id
+        WHERE wn1.tile=c.tile AND wn1.way_id=c.nearby_way_id
+          AND wn2.way_id=c.way_id
+          AND (wn1.x-c.x)*(wn1.x-c.x) + (wn1.y-c.y)*(wn1.y-c.y) <= 900.0)
+),
+err AS (
+    SELECT {err_select(50, 'node', 'node_id', msg,
+        txt1='CAST(nearby_way_id AS VARCHAR)')}
+    FROM (
+        SELECT * , ROW_NUMBER() OVER (PARTITION BY tile, node_id
+                                      ORDER BY d2, srcq, nearby_way_id) rn
+        FROM kept) WHERE rn = 1
+)"""
+    return wrap(d, body)
+
+
+def oracle_0190(d: str) -> str:
+    from .lib import WAY_LAYERS_SQL, WAY_LENGTHS_SQL
+    from .mercator import merc_lat_wrap, merc_lon_sql
+
+    hw_excl = (
+        "'cycleway','footway','path','bridleway','track','proposed',"
+        "'preproposed','construction','services','rest_area','ford','razed'"
+    )
+    pathish = "'cycleway','footway','path','bridleway','track'"
+    ww_excl = "'riverbank','dock','boatyard','weir','dam'"
+    rbish = "'riverbank','dock','boatyard'"
+    msg_plain = "This $1 intersects the $2 #$3"
+    msg_junc = msg_plain + " but there is no junction node"
+    subtype_case = """CASE
+        WHEN t1='highway' AND t2='highway' THEN 1
+        WHEN (t1='highway' AND t2='waterway') OR (t1='waterway' AND t2='highway') THEN 2
+        WHEN (t1='highway' AND t2='riverbank') OR (t1='riverbank' AND t2='highway') THEN 3
+        WHEN t1='waterway' AND t2='waterway' THEN 4
+        WHEN t1='cycleway/footpath' AND t2='cycleway/footpath' THEN 5
+        WHEN (t1='highway' AND t2='cycleway/footpath') OR (t1='cycleway/footpath' AND t2='highway') THEN 6
+        WHEN (t1='cycleway/footpath' AND t2='waterway') OR (t1='waterway' AND t2='cycleway/footpath') THEN 7
+        WHEN (t1='cycleway/footpath' AND t2='riverbank') OR (t1='riverbank' AND t2='cycleway/footpath') THEN 8
+        ELSE -1 END"""
+
+    body = f"""
+{WAY_LAYERS_SQL.strip().rstrip(')')}),
+{WAY_LENGTHS_SQL.strip().rstrip(')')}),
+{SEGS_SQL.strip().rstrip(')')}),
+cls AS (
+    SELECT * FROM (
+        SELECT c.tile, c.way_id,
+               CASE WHEN hw_main AND NOT ford THEN 'highway'
+                    WHEN hw_path AND NOT ford THEN 'cycleway/footpath'
+                    WHEN ww_main THEN 'waterway'
+                    WHEN rb THEN 'riverbank' END AS way_type,
+               l.layer, c.area
+        FROM (
+            SELECT w.tile, w.id AS way_id,
+                EXISTS(SELECT 1 FROM way_tags t WHERE t.tile=w.tile AND t.way_id=w.id
+                       AND t.k='highway' AND t.v NOT IN ({hw_excl})) AS hw_main,
+                EXISTS(SELECT 1 FROM way_tags t WHERE t.tile=w.tile AND t.way_id=w.id
+                       AND t.k='highway' AND t.v IN ({pathish})) AS hw_path,
+                EXISTS(SELECT 1 FROM way_tags t WHERE t.tile=w.tile AND t.way_id=w.id
+                       AND t.k='waterway' AND t.v NOT IN ({ww_excl})) AS ww_main,
+                EXISTS(SELECT 1 FROM way_tags t WHERE t.tile=w.tile AND t.way_id=w.id
+                       AND ((t.k='waterway' AND t.v IN ({rbish}))
+                         OR (t.k='natural' AND t.v='water'))) AS rb,
+                EXISTS(SELECT 1 FROM way_tags t WHERE t.tile=w.tile AND t.way_id=w.id
+                       AND t.k='ford') AS ford,
+                EXISTS(SELECT 1 FROM way_tags t WHERE t.tile=w.tile AND t.way_id=w.id
+                       AND t.k='area' AND t.v='yes') AS area
+            FROM ways w) c
+        JOIN way_layers l ON l.tile=c.tile AND l.way_id=c.way_id
+    ) WHERE way_type IS NOT NULL AND NOT area
+),
+csegs AS (
+    SELECT s.tile, s.way_id, s.seg_id, s.ax, s.ay, s.bx, s.by,
+           c.way_type, c.layer
+    FROM all_segs s JOIN cls c ON c.tile=s.tile AND c.way_id=s.way_id
+),
+scells AS (
+    SELECT s.*, (g1.cx + 1048576)*2097152 + (g2.cy + 1048576) AS cell
+    FROM csegs s,
+         UNNEST(generate_series(CAST(FLOOR(LEAST(s.ax,s.bx)/256.0) AS BIGINT),
+                                CAST(FLOOR(GREATEST(s.ax,s.bx)/256.0) AS BIGINT))) g1(cx),
+         UNNEST(generate_series(CAST(FLOOR(LEAST(s.ay,s.by)/256.0) AS BIGINT),
+                                CAST(FLOOR(GREATEST(s.ay,s.by)/256.0) AS BIGINT))) g2(cy)
+),
+geom AS (
+    SELECT DISTINCT tile, w1, w2, t1, t2, kind, px, py, qx, qy, olen FROM (
+        SELECT s1.tile, s1.way_id AS w1, s2.way_id AS w2,
+               s1.way_type AS t1, s2.way_type AS t2,
+               s1.ax AS ax1, s1.ay AS ay1, s1.bx AS bx1, s1.by AS by1,
+               s2.ax AS ax2, s2.ay AS ay2, s2.bx AS bx2, s2.by AS by2,
+               (bx1-ax1) AS rx, (by1-ay1) AS ry,
+               (bx2-ax2) AS sx, (by2-ay2) AS sy,
+               rx*sy - ry*sx AS denom,
+               (ax2-ax1) AS qpx, (ay2-ay1) AS qpy,
+               qpx*ry - qpy*rx AS qpxr,
+               rx*rx + ry*ry AS rr,
+               (qpx*sy - qpy*sx)/denom AS t,
+               qpxr/denom AS u,
+               (qpx*rx + qpy*ry)/rr AS t0,
+               ((bx2-ax1)*rx + (by2-ay1)*ry)/rr AS t1_,
+               GREATEST(LEAST(t0, t1_), 0.0) AS tmin,
+               LEAST(GREATEST(t0, t1_), 1.0) AS tmax,
+               (denom = 0 AND qpxr = 0) AS collinear,
+               CASE WHEN collinear AND tmax > tmin THEN 2
+                    WHEN collinear AND tmax = tmin THEN 1
+                    WHEN denom <> 0 AND t >= 0 AND t <= 1 AND u >= 0 AND u <= 1 THEN 1
+                    ELSE 0 END AS kind,
+               CASE WHEN kind = 2 THEN ax1 + tmin*rx
+                    WHEN collinear THEN ax1 + tmin*rx
+                    ELSE ax1 + t*rx END AS px,
+               CASE WHEN kind = 2 THEN ay1 + tmin*ry
+                    WHEN collinear THEN ay1 + tmin*ry
+                    ELSE ay1 + t*ry END AS py,
+               CASE WHEN kind = 2 THEN ax1 + tmax*rx END AS qx,
+               CASE WHEN kind = 2 THEN ay1 + tmax*ry END AS qy,
+               CASE WHEN kind = 2 THEN SQRT((qx-px)*(qx-px) + (qy-py)*(qy-py))
+                    ELSE 0.0 END AS olen
+        FROM scells s1 JOIN scells s2
+          ON s2.tile=s1.tile AND s2.cell=s1.cell AND s2.layer=s1.layer
+         AND s1.way_id < s2.way_id
+         AND NOT ((s1.way_type='waterway' AND s2.way_type='riverbank')
+               OR (s1.way_type='riverbank' AND s2.way_type='waterway')
+               OR (s1.way_type='riverbank' AND s2.way_type='riverbank')
+               OR (s1.way_type='cycleway/footpath' AND s2.way_type='waterway')
+               OR (s1.way_type='waterway' AND s2.way_type='cycleway/footpath'))
+         AND LEAST(s1.ax,s1.bx) <= GREATEST(s2.ax,s2.bx)
+         AND LEAST(s2.ax,s2.bx) <= GREATEST(s1.ax,s1.bx)
+         AND LEAST(s1.ay,s1.by) <= GREATEST(s2.ay,s2.by)
+         AND LEAST(s2.ay,s2.by) <= GREATEST(s1.ay,s1.by)
+    ) WHERE kind > 0
+),
+wmeta AS (
+    SELECT w.tile, w.id AS way_id,
+           w.first_node_x AS fx, w.first_node_y AS fy,
+           w.last_node_x AS lx, w.last_node_y AS ly,
+           wl.length
+    FROM ways w JOIN way_lengths wl ON wl.tile=w.tile AND wl.way_id=w.id
+),
+gint AS (
+    SELECT g.*,
+           (g.kind = 1
+            AND ((m1.fx=m1.lx AND m1.fy=m1.ly)
+                 OR (NOT (g.px=m1.fx AND g.py=m1.fy)
+                     AND NOT (g.px=m1.lx AND g.py=m1.ly)))
+            AND ((m2.fx=m2.lx AND m2.fy=m2.ly)
+                 OR (NOT (g.px=m2.fx AND g.py=m2.fy)
+                     AND NOT (g.px=m2.lx AND g.py=m2.ly)))) AS interior_both,
+           m1.length AS len1, m2.length AS len2
+    FROM geom g
+    JOIN wmeta m1 ON m1.tile=g.tile AND m1.way_id=g.w1
+    JOIN wmeta m2 ON m2.tile=g.tile AND m2.way_id=g.w2
+),
+pair_stats AS (
+    SELECT * FROM (
+        SELECT tile, w1, w2, t1, t2,
+               bool_or(CASE WHEN kind=2 THEN olen ELSE 0.0 END > 0) AS has_overlap,
+               SUM(CASE WHEN kind=2 THEN olen ELSE 0.0 END) AS overlap_total,
+               bool_or(interior_both) AS has_interior_cross,
+               MIN(CASE WHEN kind=2 THEN
+                   CASE WHEN ROW(px, py) <= ROW(qx, qy)
+                        THEN struct_pack(px:=px, py:=py)
+                        ELSE struct_pack(px:=qx, py:=qy) END END) AS omin,
+               ANY_VALUE(len1) AS len1, ANY_VALUE(len2) AS len2
+        FROM gint GROUP BY tile, w1, w2, t1, t2
+    )
+),
+actions AS (
+    SELECT *, CASE WHEN has_overlap AND NOT (overlap_total >= LEAST(len1, len2) - 1e-6)
+                   THEN 'overlaps'
+                   WHEN NOT has_overlap AND has_interior_cross THEN 'crosses'
+              END AS action
+    FROM pair_stats
+),
+pts AS (
+    SELECT g.tile, g.w1, g.w2, g.t1, g.t2, g.px, g.py
+    FROM (SELECT DISTINCT tile, w1, w2, t1, t2, px, py
+          FROM geom WHERE kind = 1) g
+    JOIN actions a ON a.tile=g.tile AND a.w1=g.w1 AND a.w2=g.w2
+                  AND a.action='crosses'
+),
+xings AS (
+    SELECT a1.tile, a1.way_id AS w1, b1.way_id AS w2, a1.x AS jx, a1.y AS jy
+    FROM way_nodes a1
+    JOIN way_nodes b1 ON b1.tile=a1.tile AND b1.node_id=a1.node_id
+    WHERE a1.way_id < b1.way_id
+),
+connected AS (
+    SELECT DISTINCT p.tile, p.w1, p.w2, p.px, p.py
+    FROM pts p JOIN xings x ON x.tile=p.tile AND x.w1=p.w1 AND x.w2=p.w2
+    WHERE (x.jx-p.px)*(x.jx-p.px) + (x.jy-p.py)*(x.jy-p.py) <= 100.0
+),
+cross_pts AS (
+    SELECT p.* FROM pts p
+    ANTI JOIN connected c
+      ON c.tile=p.tile AND c.w1=p.w1 AND c.w2=p.w2 AND c.px=p.px AND c.py=p.py
+),
+cross_coords AS (
+    SELECT * FROM {merc_lat_wrap(
+        f"SELECT tile, w1, w2, t1, t2, {subtype_case} AS subtype, "
+        f"{merc_lon_sql('px')} AS mlon, py FROM cross_pts",
+        "py")}
+),
+over_coords AS (
+    SELECT * FROM {merc_lat_wrap(
+        f"SELECT tile, w1, w2, t1, t2, {subtype_case} AS subtype, "
+        f"{merc_lon_sql('omin.px')} AS mlon, omin.py AS py "
+        f"FROM actions WHERE action='overlaps'",
+        "py")}
+),
+err AS (
+    SELECT {err_select('190 + subtype', 'way', 'w1',
+        f"CASE WHEN subtype IN (1,4,5,6) THEN '{msg_junc}' ELSE '{msg_plain}' END",
+        txt1='t1', txt2='t2', txt3='CAST(w2 AS VARCHAR)',
+        lat_d='ROUND(1e7*mlat)', lon_d='ROUND(1e7*mlon)')}
+    FROM cross_coords WHERE subtype <> -1
+    UNION ALL
+    SELECT {err_select('200 + subtype', 'way', 'w1', f"'{msg_plain.replace('intersects', 'overlaps')}'",
+        txt1='t1', txt2='t2', txt3='CAST(w2 AS VARCHAR)',
+        lat_d='1e7*mlat', lon_d='1e7*mlon')}
+    FROM over_coords WHERE subtype <> -1
+)"""
+    return wrap(d, body)
