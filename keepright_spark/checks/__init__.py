@@ -65,6 +65,24 @@ def available_checks() -> dict[int, Callable[[OsmViews], DataFrame]]:
     return out
 
 
+def check_emits(check_ids=None) -> set[str]:
+    """Union of object types the given checks can emit — lets
+    error_view resolution prune unused per-type join branches (the
+    relation branch in particular windows over all of way_nodes)."""
+    ids = list(_CHECK_MODULES) if check_ids is None else check_ids
+    types: set[str] = set()
+    for cid in ids:
+        mod_name = _CHECK_MODULES.get(cid)
+        if mod_name is None:
+            continue
+        try:
+            mod = import_module(f".{mod_name}", __package__)
+        except ImportError:
+            continue
+        types |= set(getattr(mod, "EMITS", ("node", "way", "relation")))
+    return types
+
+
 def get_check(cid: int) -> Callable[[OsmViews], DataFrame]:
     mod = import_module(f".{_CHECK_MODULES[cid]}", __package__)
     return mod.run

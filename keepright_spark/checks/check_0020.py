@@ -73,3 +73,7 @@ def run(v: OsmViews) -> DataFrame:
         .drop("lat", "lon")
     )
     return finish_errors(err, 20, "node", MSGID, txt1=F.col("_t1")).drop("_t1")
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('node',)

@@ -306,3 +306,7 @@ def run(v: OsmViews) -> DataFrame:
     )
     ends.unpersist()
     return finish_errors(winners, 50, "node", MSGID, txt1=F.col("t1"))
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('node',)

@@ -66,3 +66,7 @@ def run(v: OsmViews) -> DataFrame:
         )
         out = e if out is None else out.unionByName(e)
     return finish_errors(out, 60, None, None)
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('node', 'way', 'relation')

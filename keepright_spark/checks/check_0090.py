@@ -44,3 +44,7 @@ def run(v: OsmViews) -> DataFrame:
     return finish_errors(
         e.select("tile", F.col("way_id").alias("object_id")), 90, "way", MSGID
     )
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('way',)

@@ -42,3 +42,7 @@ def run(v: OsmViews) -> DataFrame:
         )
         out = e if out is None else out.unionByName(e)
     return out
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('node', 'way')

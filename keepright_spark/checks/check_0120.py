@@ -23,3 +23,7 @@ def run(v: OsmViews) -> DataFrame:
         .alias("msgid"),
     )
     return finish_errors(e, 0, "way", None)
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('way',)

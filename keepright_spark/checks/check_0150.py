@@ -81,3 +81,7 @@ def run(v: OsmViews) -> DataFrame:
     return finish_errors(
         e.select("tile", F.col("node_id").alias("object_id")), 150, "node", MSGID
     )
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('node',)

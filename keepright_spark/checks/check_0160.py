@@ -56,3 +56,7 @@ def run(v: OsmViews) -> DataFrame:
     return finish_errors(e_layers, 160, "node", MSG_LAYERS).unionByName(
         finish_errors(e_bridge, 160, "node", MSG_BRIDGE)
     )
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('node',)

@@ -29,3 +29,7 @@ def run(v: OsmViews) -> DataFrame:
         "relation",
         MSGID,
     )
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('relation',)

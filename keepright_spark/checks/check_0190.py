@@ -393,3 +393,7 @@ def run(v: OsmViews) -> DataFrame:
 
     out = cross_err.unionByName(over_err)
     return finish_errors(out, 0, "way", None)
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('way',)

@@ -96,3 +96,7 @@ def run(v: OsmViews) -> DataFrame:
     p212 = finish_errors(e212, 212, "way", MSG_212)
 
     return p210.unionByName(p211).unionByName(p212)
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('way',)

@@ -163,3 +163,7 @@ def run(v: OsmViews) -> DataFrame:
     )
 
     return p231.unionByName(p232).unionByName(p233)
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('node', 'way')

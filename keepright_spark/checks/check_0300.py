@@ -45,3 +45,7 @@ def run(v: OsmViews) -> DataFrame:
     return finish_errors(
         e.select("tile", F.col("way_id").alias("object_id")), 300, "way", MSGID
     )
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('way',)

@@ -59,3 +59,7 @@ def run(v: OsmViews) -> DataFrame:
         MSGID,
         txt1=F.col("cls"),
     )
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('way',)

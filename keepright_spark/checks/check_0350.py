@@ -107,3 +107,7 @@ def run(v: OsmViews) -> DataFrame:
         MSGID,
         txt1=html_escape(F.col("taglist")),
     )
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('way',)

@@ -51,3 +51,7 @@ def run(v: OsmViews) -> DataFrame:
         )
         out = p if out is None else out.unionByName(p)
     return out
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('node', 'way', 'relation')

@@ -44,3 +44,7 @@ def run(v: OsmViews) -> DataFrame:
         MSGID,
         txt1=F.concat(F.lit("sport="), html_escape(F.col("sport_v"))),
     )
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('way',)

@@ -168,3 +168,7 @@ def run(v: OsmViews) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ('node', 'way', 'relation')

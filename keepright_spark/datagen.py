@@ -31,9 +31,12 @@ from .codec import DOCS_ARROW_SCHEMA, encode_object, fmt_coord
 from .mercator import merc_x, merc_y
 from .tiling import DEFAULT_MARGIN_M, DEFAULT_TILES, Tile
 
-GEN_VERSION = 5  # bump to force dataset regeneration
+GEN_VERSION = 8  # bump to force dataset regeneration
 
-# region covering both tiles + margins
+# region covering the scale's tile grid + margins; build_world() sets
+# these per scale so object DENSITY stays constant as the world grows
+# by adding tiles (the planet-growth model — a bigger extract is more
+# tiles, not a denser Frankfurt)
 LAT_MIN, LAT_MAX = 47.995, 48.105
 LON_MIN, LON_MAX = 16.195, 16.405
 
@@ -588,6 +591,89 @@ def inj_0070_relation_member(b: World, rng: np.random.RandomState, n: int) -> No
             b.rl([("W", wid, "outer")], [("type", "multipolygon")])
 
 
+def inj_0400_geometry(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(6)
+        if variant < 4:
+            # sharp junction: W1=[a1,j], W2=[j,a2], vectors j→a1 and
+            # j→a2 ~11° apart (<20° limit)
+            j = b.nd(lat7, lon7)
+            a1 = b.nd(*_pt_at(lat7, lon7, -100, 0))
+            a2 = b.nd(*_pt_at(lat7, lon7, -100, 20))
+            t1 = [("highway", "primary"), ("name", f"P{j % 1000}")]
+            t2 = [("highway", "primary"), ("name", f"Q{j % 1000}")]
+            if variant == 1:
+                # oneway on W1 towards the junction → only "from $2
+                # to $1" direction remains an error
+                t1.append(("oneway", "yes"))
+            elif variant == 2:
+                # no_-restriction forbidding W1→W2 clears err_first
+                pass
+            elif variant == 3:
+                # same name on both → excluded entirely
+                t2 = [("highway", "primary"), ("name", f"P{j % 1000}")]
+            w1 = b.wy([a1, j], t1)
+            w2 = b.wy([j, a2], t2)
+            if variant == 2:
+                b.rl(
+                    [("W", w1, "from"), ("N", j, "via"), ("W", w2, "to")],
+                    [("type", "restriction"), ("restriction", "no_left_turn")],
+                )
+        elif variant == 4:
+            # zigzag way (402): sharp at B and C, |BC| < 80 m
+            a = b.nd(*_pt_at(lat7, lon7, 0, 0))
+            bb = b.nd(*_pt_at(lat7, lon7, 100, 0))
+            c = b.nd(*_pt_at(lat7, lon7, 60, 20))
+            d = b.nd(*_pt_at(lat7, lon7, 160, 30))
+            b.wy([a, bb, c, d], [("highway", "residential")])
+        else:
+            # negative: right-angle zigzag is fine for residential
+            a = b.nd(*_pt_at(lat7, lon7, 0, 0))
+            bb = b.nd(*_pt_at(lat7, lon7, 100, 0))
+            c = b.nd(*_pt_at(lat7, lon7, 100, 60))
+            d = b.nd(*_pt_at(lat7, lon7, 160, 60))
+            b.wy([a, bb, c, d], [("highway", "residential")])
+
+
+def inj_0370_double_place(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(5)
+        # closed square, ~120 m sides
+        c1 = b.nd(*_pt_at(lat7, lon7, 0, 0))
+        c2 = b.nd(*_pt_at(lat7, lon7, 120, 0))
+        c3 = b.nd(*_pt_at(lat7, lon7, 120, 120))
+        c4 = b.nd(*_pt_at(lat7, lon7, 0, 120))
+        name = f"Area {c1 % 1000}"
+        wtags = [("landuse", "forest"), ("name", name)]
+        if variant == 0:
+            # duplicate node inside, same tag + same name → 370
+            b.wy([c1, c2, c3, c4, c1], wtags)
+            b.nd(*_pt_at(lat7, lon7, 60, 60),
+                 [("landuse", "forest"), ("name", name)])
+        elif variant == 1:
+            # case-insensitive name match → 370
+            b.wy([c1, c2, c3, c4, c1], wtags)
+            b.nd(*_pt_at(lat7, lon7, 40, 70),
+                 [("landuse", "forest"), ("name", name.upper())])
+        elif variant == 2:
+            # different name → clean
+            b.wy([c1, c2, c3, c4, c1], wtags)
+            b.nd(*_pt_at(lat7, lon7, 60, 60),
+                 [("landuse", "forest"), ("name", "Other")])
+        elif variant == 3:
+            # node outside the polygon → clean
+            b.wy([c1, c2, c3, c4, c1], wtags)
+            b.nd(*_pt_at(lat7, lon7, 200, 60),
+                 [("landuse", "forest"), ("name", name)])
+        else:
+            # open way (ends > 10 m apart) → not a polygon → clean
+            b.wy([c1, c2, c3, c4], wtags)
+            b.nd(*_pt_at(lat7, lon7, 60, 60),
+                 [("landuse", "forest"), ("name", name)])
+
+
 INJECTORS = [
     (inj_0020_duplicate_nodes, 4),
     (inj_0060_deprecated, 4),
@@ -603,6 +689,8 @@ INJECTORS = [
     (inj_0230_layers, 4),
     (inj_0050_almost_junctions, 5),
     (inj_0190_intersections, 6),
+    (inj_0400_geometry, 4),
+    (inj_0370_double_place, 3),
 ]
 
 
@@ -611,16 +699,29 @@ INJECTORS = [
 # ---------------------------------------------------------------------------
 
 SCALES = {
-    # name: (n_ways, n_pois, injection_unit)
-    "t": (250, 200, 3),
-    "s": (2200, 1800, 20),
-    "m": (22000, 18000, 200),
+    # name: (n_ways, n_pois, injection_unit, grid_cols, grid_rows)
+    # grids keep density ≈ (125 ways / tile): the world scales by
+    # adding 0.1°×0.1° tiles, not by densifying one box
+    "t": (250, 200, 3, 2, 1),
+    "s": (2200, 1800, 20, 6, 3),
+    "m": (22000, 18000, 200, 16, 11),
+    "l": (88000, 72000, 800, 26, 27),
 }
-SF_TO_SCALE = {"sf0.001": "t", "sf0.01": "s", "sf0.1": "m", "sf1": "m"}
+SF_TO_SCALE = {"sf0.001": "t", "sf0.01": "s", "sf0.1": "m", "sf1": "l"}
+
+
+def scale_tiles(scale: str) -> list[Tile]:
+    from .tiling import tile_grid
+
+    _, _, _, cols, rows = SCALES[scale]
+    return tile_grid(cols, rows)
 
 
 def build_world(scale: str) -> World:
-    n_ways, n_pois, unit = SCALES[scale]
+    global LAT_MIN, LAT_MAX, LON_MIN, LON_MAX
+    n_ways, n_pois, unit, cols, rows = SCALES[scale]
+    LON_MIN, LON_MAX = 16.2 - 0.005, 16.2 + cols * 0.1 + 0.005
+    LAT_MIN, LAT_MAX = 48.0 - 0.005, 48.0 + rows * 0.1 + 0.005
     rng = np.random.RandomState(42 + sum(map(ord, scale)))
     b = World()
     gen_network(b, rng, n_ways)
@@ -863,7 +964,7 @@ def write_dataset(
     tiles: list[Tile] | None = None,
     margin_m: float = DEFAULT_MARGIN_M,
 ) -> None:
-    tiles = tiles or DEFAULT_TILES
+    tiles = tiles or scale_tiles(scale)
     os.makedirs(os.path.join(out_dir, "oracle"), exist_ok=True)
     b = build_world(scale)
     _write_docs(b, os.path.join(out_dir, "docs.parquet"))
@@ -883,6 +984,10 @@ def write_dataset(
                 "n_nodes": len(b.nodes),
                 "n_ways": len(b.ways),
                 "n_relations": len(b.relations),
+                "tiles": [
+                    [t.name, t.left, t.right, t.top, t.bottom] for t in tiles
+                ],
+                "margin_m": margin_m,
             },
             f,
         )

@@ -100,10 +100,20 @@ def dedupe_errors(errors: DataFrame) -> DataFrame:
     )
 
 
-def resolve_locations(errors: DataFrame, v: OsmViews) -> DataFrame:
+def resolve_locations(
+    errors: DataFrame, v: OsmViews, emit_types: set[str] | None = None
+) -> DataFrame:
     """_tmp_errors → error_view coordinates: 1e7 fixed-point ints
     (run-checks.php:336-424).  Input lat/lon (degrees, usually NULL)
-    are replaced by resolved lat/lon LongType columns."""
+    are replaced by resolved lat/lon LongType columns.
+
+    ``emit_types`` prunes the per-object-type join branches to the
+    types the contributing checks can actually emit (checks declare
+    ``EMITS``); the relation branch in particular costs windows over
+    all of way_nodes and most check runs never need it.
+    """
+    if emit_types is None:
+        emit_types = {"node", "way", "relation"}
     has_ll = errors.filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
     no_ll = errors.filter(F.col("lat").isNull() | F.col("lon").isNull()).drop(
         "lat", "lon"
@@ -116,27 +126,44 @@ def resolve_locations(errors: DataFrame, v: OsmViews) -> DataFrame:
         "lat", F.round(F.col("lat")).cast("long")
     ).withColumn("lon", F.round(F.col("lon")).cast("long"))
 
-    # nodes: own coordinates (run-checks.php:389-397)
-    n = v.nodes.select(
-        "tile",
-        F.col("id").alias("object_id"),
-        F.round(F.col("lat") * 1e7).cast("long").alias("lat"),
-        F.round(F.col("lon") * 1e7).cast("long").alias("lon"),
-    )
-    res_node = no_ll.filter(F.col("object_type") == "node").join(
-        n, ["tile", "object_id"], "inner"
-    )
+    parts = [
+        # checks that set lat/lon explicitly (already 1e7 fixed-point)
+        resolved_explicit
+    ]
 
-    # ways: first node (run-checks.php:400-413)
-    w = v.ways.select(
-        "tile",
-        F.col("id").alias("object_id"),
-        F.round(F.col("first_node_lat") * 1e7).cast("long").alias("lat"),
-        F.round(F.col("first_node_lon") * 1e7).cast("long").alias("lon"),
-    ).filter(F.col("lat").isNotNull())
-    res_way = no_ll.filter(F.col("object_type") == "way").join(
-        w, ["tile", "object_id"], "inner"
-    )
+    if "node" in emit_types:
+        # nodes: own coordinates (run-checks.php:389-397)
+        n = v.nodes.select(
+            "tile",
+            F.col("id").alias("object_id"),
+            F.round(F.col("lat") * 1e7).cast("long").alias("lat"),
+            F.round(F.col("lon") * 1e7).cast("long").alias("lon"),
+        )
+        parts.append(
+            no_ll.filter(F.col("object_type") == "node").join(
+                n, ["tile", "object_id"], "inner"
+            )
+        )
+
+    if "way" in emit_types:
+        # ways: first node (run-checks.php:400-413)
+        w = v.ways.select(
+            "tile",
+            F.col("id").alias("object_id"),
+            F.round(F.col("first_node_lat") * 1e7).cast("long").alias("lat"),
+            F.round(F.col("first_node_lon") * 1e7).cast("long").alias("lon"),
+        ).filter(F.col("lat").isNotNull())
+        parts.append(
+            no_ll.filter(F.col("object_type") == "way").join(
+                w, ["tile", "object_id"], "inner"
+            )
+        )
+
+    if "relation" not in emit_types:
+        out = parts[0].select(ERROR_COLS)
+        for p in parts[1:]:
+            out = out.unionByName(p.select(ERROR_COLS))
+        return out
 
     # relations: member node, else first node of a member way
     # (run-checks.php:352-376); deterministic member choice (see module
@@ -201,21 +228,23 @@ def resolve_locations(errors: DataFrame, v: OsmViews) -> DataFrame:
     rel_loc = rel_loc.unionByName(
         nested.join(rel_loc, ["tile", "object_id"], "left_anti")
     )
-    res_rel = no_ll.filter(F.col("object_type") == "relation").join(
-        rel_loc, ["tile", "object_id"], "inner"
+    parts.append(
+        no_ll.filter(F.col("object_type") == "relation").join(
+            rel_loc, ["tile", "object_id"], "inner"
+        )
     )
 
-    cols = ERROR_COLS
-    return (
-        resolved_explicit.select(cols)
-        .unionByName(res_node.select(cols))
-        .unionByName(res_way.select(cols))
-        .unionByName(res_rel.select(cols))
-    )
+    out = parts[0].select(ERROR_COLS)
+    for p in parts[1:]:
+        out = out.unionByName(p.select(ERROR_COLS))
+    return out
 
 
 def build_error_view(
-    errors: DataFrame, v: OsmViews, tiles: list[Tile]
+    errors: DataFrame,
+    v: OsmViews,
+    tiles: list[Tile],
+    emit_types: set[str] | None = None,
 ) -> DataFrame:
     """Full per-run pipeline: dedupe → resolve → half-open clip.
 
@@ -228,6 +257,6 @@ def build_error_view(
     # recomputing every check, and lets AQE's empty-relation
     # propagation skip the branches a check doesn't use
     out = dedupe_errors(errors).persist(StorageLevel.MEMORY_AND_DISK)
-    out = resolve_locations(out, v)
+    out = resolve_locations(out, v, emit_types)
     out = clip_errors(out, tiles)
     return out.select(ERROR_COLS)

@@ -1257,3 +1257,275 @@ err AS (
     FROM over_coords WHERE subtype <> -1
 )"""
     return wrap(d, body)
+
+
+def oracle_0400(d: str) -> str:
+    from .lib import FIND_ONEWAYS_SQL
+
+    msg_both = (
+        "'ways $1 and $2 join in a very sharp angle here and there is no "
+        "oneway tag or turn restriction that prevents turning'"
+    )
+    msg_first = (
+        "'ways $1 and $2 join in a very sharp angle here and there is no "
+        "oneway tag or turn restriction that prevents turning from way $1 to $2'"
+    )
+    msg_second = (
+        "'ways $1 and $2 join in a very sharp angle here and there is no "
+        "oneway tag or turn restriction that prevents turning from way $2 to $1'"
+    )
+    msg_402 = "'this way bends in a very sharp angle here'"
+    excl = (
+        "'cycleway','service','track','path','bridleway','footway',"
+        "'pedestrian','steps','via_ferrata','emergency_access_point',"
+        "'raceway','preproposed','proposed','construction','razed',"
+        "'abandoned','rest_area'"
+    )
+    excl_401 = excl + ",'unclassified','residential'"
+
+    body = f"""
+{FIND_ONEWAYS_SQL.strip()},
+major_ways AS (
+    SELECT DISTINCT wt.tile, wt.way_id
+    FROM way_tags wt
+    WHERE wt.k='highway' AND wt.v NOT IN ({excl_401})
+      AND NOT EXISTS (SELECT 1 FROM way_tags a WHERE a.tile=wt.tile
+                      AND a.way_id=wt.way_id AND a.k='area' AND a.v='yes')
+),
+jnodes AS (
+    SELECT wn.tile, wn.node_id
+    FROM way_nodes wn JOIN major_ways mw ON wn.tile=mw.tile AND wn.way_id=mw.way_id
+    GROUP BY wn.tile, wn.node_id
+    HAVING COUNT(DISTINCT wn.way_id) > 1
+),
+adj AS (
+    SELECT wn.tile, wn.way_id, wn.node_id, wn.x, wn.y,
+           LEAD(wn.node_id) OVER w AS next_id,
+           LEAD(wn.x) OVER w AS next_x, LEAD(wn.y) OVER w AS next_y,
+           LAG(wn.node_id) OVER w AS prev_id,
+           LAG(wn.x) OVER w AS prev_x, LAG(wn.y) OVER w AS prev_y
+    FROM way_nodes wn JOIN major_ways mw ON wn.tile=mw.tile AND wn.way_id=mw.way_id
+    WINDOW w AS (PARTITION BY wn.tile, wn.way_id ORDER BY wn.sequence_id)
+),
+jpartners AS (
+    SELECT a.tile, a.node_id AS junction_id, a.next_id AS other_id, a.way_id,
+           FALSE AS reversed, a.next_x-a.x AS dx, a.next_y-a.y AS dy
+    FROM adj a JOIN jnodes j ON a.tile=j.tile AND a.node_id=j.node_id
+    WHERE a.next_id IS NOT NULL
+    UNION ALL
+    SELECT a.tile, a.node_id, a.prev_id, a.way_id,
+           TRUE, a.prev_x-a.x, a.prev_y-a.y
+    FROM adj a JOIN jnodes j ON a.tile=j.tile AND a.node_id=j.node_id
+    WHERE a.prev_id IS NOT NULL
+),
+restr AS (
+    SELECT f.tile, f.member_id AS from_way, t.member_id AS to_way,
+           CASE WHEN EXISTS (SELECT 1 FROM relation_tags rt
+                             WHERE rt.tile=f.tile AND rt.relation_id=f.relation_id
+                               AND rt.k='restriction' AND rt.v LIKE 'only%')
+                THEN 'only'
+                WHEN EXISTS (SELECT 1 FROM relation_tags rt
+                             WHERE rt.tile=f.tile AND rt.relation_id=f.relation_id
+                               AND rt.k='restriction' AND rt.v LIKE 'no%')
+                THEN 'no' END AS rtype
+    FROM relation_members f JOIN relation_members t
+      ON f.tile=t.tile AND f.relation_id=t.relation_id
+     AND f.member_type='W' AND t.member_type='W'
+     AND f.member_role='from' AND t.member_role='to'
+     AND f.member_id <> t.member_id
+    WHERE EXISTS (SELECT 1 FROM relation_tags rt
+                  WHERE rt.tile=f.tile AND rt.relation_id=f.relation_id
+                    AND rt.k='type' AND rt.v='restriction')
+),
+sharp0 AS (
+    SELECT a.tile, a.junction_id, a.way_id AS w1, a.reversed AS rev1,
+           b.way_id AS w2, b.reversed AS rev2
+    FROM jpartners a JOIN jpartners b
+      ON a.tile=b.tile AND a.junction_id=b.junction_id
+     AND a.other_id < b.other_id
+    WHERE a.dx*b.dx + a.dy*b.dy >
+          SQRT((a.dx*a.dx + a.dy*a.dy)*(b.dx*b.dx + b.dy*b.dy)) * COS(20.0*PI()/180.0)
+),
+sharp1 AS (
+    SELECT s.* FROM sharp0 s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM way_tags wt1 JOIN way_tags wt2
+          ON wt1.tile=wt2.tile AND wt1.k=wt2.k AND wt1.v=wt2.v
+        WHERE wt1.tile=s.tile AND wt1.way_id=s.w1 AND wt2.way_id=s.w2
+          AND wt1.k IN ('name','ref'))
+),
+sharp2 AS (
+    SELECT s.tile, s.junction_id, s.w1, s.w2,
+        ((o1.way_id IS NULL OR (o1.reversed <> s.rev1))
+         AND (o2.way_id IS NULL OR NOT (o2.reversed <> s.rev2))
+         AND NOT EXISTS (SELECT 1 FROM restr r WHERE r.tile=s.tile
+                         AND r.from_way=s.w1 AND r.to_way=s.w2 AND r.rtype='no')
+         AND NOT EXISTS (SELECT 1 FROM restr r WHERE r.tile=s.tile
+                         AND r.from_way=s.w1 AND r.to_way<>s.w2 AND r.rtype='only')
+        ) AS err1,
+        ((o2.way_id IS NULL OR (o2.reversed <> s.rev2))
+         AND (o1.way_id IS NULL OR NOT (o1.reversed <> s.rev1))
+         AND NOT EXISTS (SELECT 1 FROM restr r WHERE r.tile=s.tile
+                         AND r.from_way=s.w2 AND r.to_way=s.w1 AND r.rtype='no')
+         AND NOT EXISTS (SELECT 1 FROM restr r WHERE r.tile=s.tile
+                         AND r.from_way=s.w2 AND r.to_way<>s.w1 AND r.rtype='only')
+        ) AS err2
+    FROM sharp1 s
+    LEFT JOIN one_ways o1 ON o1.tile=s.tile AND o1.way_id=s.w1
+    LEFT JOIN one_ways o2 ON o2.tile=s.tile AND o2.way_id=s.w2
+),
+ways_402 AS (
+    SELECT DISTINCT wt.tile, wt.way_id
+    FROM way_tags wt
+    WHERE wt.k='highway' AND wt.v NOT IN ({excl})
+      AND NOT EXISTS (SELECT 1 FROM way_tags a WHERE a.tile=wt.tile
+                      AND a.way_id=wt.way_id AND a.k='area' AND a.v='yes')
+      AND EXISTS (SELECT 1 FROM ways w WHERE w.tile=wt.tile AND w.id=wt.way_id
+                  AND w.node_count >= 4)
+),
+lim AS (
+    SELECT m.tile, m.way_id,
+       COS((180.0 - (CASE WHEN ra.deg_ra IS NOT NULL
+                          AND COALESCE(ms.deg_ms, hw.deg_hw, 100.0) < 80.0
+                          THEN 80.0
+                          ELSE COALESCE(ms.deg_ms, hw.deg_hw, 100.0) END))
+           * PI()/180.0) AS angle_limit
+    FROM ways_402 m
+    LEFT JOIN (
+        SELECT tile, way_id,
+           CASE WHEN hv IN ('living_street','residential','unclassified') THEN 110.0
+                WHEN hv IN ('primary','secondary','tertiary') THEN 80.0
+                WHEN hv IN ('primary_link','secondary_link','tertiary_link',
+                            'motorway_link','trunk_link') THEN 60.0
+                WHEN hv = 'trunk' THEN 45.0
+                WHEN hv = 'motorway' THEN 30.0
+                ELSE 100.0 END AS deg_hw
+        FROM (SELECT tile, way_id, MAX(v) AS hv FROM way_tags
+              WHERE k='highway' GROUP BY tile, way_id)
+    ) hw ON m.tile=hw.tile AND m.way_id=hw.way_id
+    LEFT JOIN (
+        SELECT tile, way_id,
+           CASE WHEN mv IN ('zone:30','30','20 mph','20mph')
+                     OR mv LIKE '__:living_street' THEN 110.0
+                WHEN mv IN ('40','zone:50','50','60','30 mph','30mph')
+                     OR mv LIKE '__:urban' THEN 100.0
+                WHEN mv IN ('70','80','40 mph','40mph','50 mph','50mph') THEN 80.0
+                WHEN mv IN ('90','100','60 mph','60mph')
+                     OR mv LIKE '__:rural' THEN 60.0
+                WHEN mv IN ('110','120','130','70 mph','70mph')
+                     OR mv LIKE '__:motorway' THEN 30.0 END AS deg_ms
+        FROM (SELECT tile, way_id, MAX(v) AS mv FROM way_tags
+              WHERE k='maxspeed' GROUP BY tile, way_id)
+    ) ms ON m.tile=ms.tile AND m.way_id=ms.way_id
+    LEFT JOIN (
+        SELECT DISTINCT tile, way_id, 1 AS deg_ra FROM way_tags
+        WHERE k='junction' AND v='roundabout'
+    ) ra ON m.tile=ra.tile AND m.way_id=ra.way_id
+),
+wn402 AS (
+    SELECT wn.tile, wn.way_id, l.angle_limit, wn.x AS ax, wn.y AS ay,
+           LEAD(wn.x,1) OVER w AS bx, LEAD(wn.y,1) OVER w AS by,
+           LEAD(wn.lon,1) OVER w AS blon, LEAD(wn.lat,1) OVER w AS blat,
+           LEAD(wn.x,2) OVER w AS cx, LEAD(wn.y,2) OVER w AS cy,
+           LEAD(wn.x,3) OVER w AS dx, LEAD(wn.y,3) OVER w AS dy
+    FROM way_nodes wn JOIN lim l ON wn.tile=l.tile AND wn.way_id=l.way_id
+    WINDOW w AS (PARTITION BY wn.tile, wn.way_id ORDER BY wn.sequence_id)
+),
+err AS (
+    SELECT DISTINCT {err_select(401, 'node', 'junction_id',
+        f"CASE WHEN err1 AND err2 THEN {msg_both} WHEN err1 THEN {msg_first} ELSE {msg_second} END",
+        txt1='CAST(w1 AS VARCHAR)', txt2='CAST(w2 AS VARCHAR)')}
+    FROM sharp2 WHERE err1 OR err2
+    UNION ALL
+    SELECT DISTINCT {err_select(402, 'way', 'way_id', msg_402,
+        lat_d='1e7*blat', lon_d='1e7*blon')}
+    FROM wn402
+    WHERE dx IS NOT NULL
+      AND ((ax-bx)*(cx-bx) + (ay-by)*(cy-by)) >
+          SQRT(((ax-bx)*(ax-bx)+(ay-by)*(ay-by))
+               * ((cx-bx)*(cx-bx)+(cy-by)*(cy-by))) * angle_limit
+      AND (cx-bx)*(cx-bx) + (cy-by)*(cy-by) < 6400.0
+      AND ((bx-cx)*(dx-cx) + (by-cy)*(dy-cy)) >
+          SQRT(((dx-cx)*(dx-cx)+(dy-cy)*(dy-cy))
+               * ((bx-cx)*(bx-cx)+(by-cy)*(by-cy))) * angle_limit
+)"""
+    return wrap(d, body)
+
+
+def oracle_0370(d: str) -> str:
+    keylist = (
+        "'abutters','aerialway','aeroway','agricultural','amenity','area',"
+        "'barrier','basin','boundary','brewery','bridge','building','club',"
+        "'craft','emergency','ford','fuel','habitat','harbour','healthcare',"
+        "'historic','landmark','landuse','leisure','location','man made',"
+        "'mooring','natural','parking','playground','power','railway',"
+        "'repair','reservation','resource','route','ruins','school',"
+        "'service','shelter','shop','sport','tourism','tunnel','water',"
+        "'waterway','wood','zoo'"
+    )
+    msg = (
+        "'This node has tags in common with the surrounding way #$1' || "
+        "CASE WHEN p.wname IS NOT NULL THEN "
+        "' (including the name ''$2'')' ELSE '' END || "
+        "' and seems to be redundant'"
+    )
+    body = f"""
+closed_ways AS (
+    SELECT tile, id AS way_id FROM ways
+    WHERE node_count > 2
+      AND (first_node_x-last_node_x)*(first_node_x-last_node_x)
+        + (first_node_y-last_node_y)*(first_node_y-last_node_y) < 100.0
+),
+poly_edges AS (
+    SELECT wn.tile, wn.way_id, wn.x AS ax, wn.y AS ay,
+           LEAD(wn.x) OVER w AS bx, LEAD(wn.y) OVER w AS by
+    FROM way_nodes wn JOIN closed_ways c ON wn.tile=c.tile AND wn.way_id=c.way_id
+    WINDOW w AS (PARTITION BY wn.tile, wn.way_id ORDER BY wn.sequence_id)
+    QUALIFY bx IS NOT NULL
+    UNION ALL
+    SELECT w.tile, w.id, w.last_node_x, w.last_node_y,
+           w.first_node_x, w.first_node_y
+    FROM ways w JOIN closed_ways c ON w.tile=c.tile AND w.id=c.way_id
+    WHERE w.last_node_x <> w.first_node_x OR w.last_node_y <> w.first_node_y
+),
+cand_nodes AS (
+    SELECT n.tile, n.id AS node_id, n.x AS px, n.y AS py
+    FROM nodes n
+    WHERE EXISTS (SELECT 1 FROM node_tags nt
+                  WHERE nt.tile=n.tile AND nt.node_id=n.id)
+      AND NOT EXISTS (SELECT 1 FROM way_nodes wn
+                      WHERE wn.tile=n.tile AND wn.node_id=n.id)
+),
+inclusions AS (
+    SELECT e.tile, e.way_id, c.node_id
+    FROM poly_edges e JOIN cand_nodes c ON e.tile=c.tile
+    GROUP BY e.tile, e.way_id, c.node_id
+    HAVING SUM(CASE WHEN ((e.ay > c.py) <> (e.by > c.py))
+                     AND c.px < e.ax + (e.bx-e.ax)*(c.py-e.ay)/(e.by-e.ay)
+               THEN 1 ELSE 0 END) % 2 = 1
+),
+tag_pairs AS (
+    SELECT DISTINCT i.tile, i.way_id, i.node_id
+    FROM inclusions i
+    WHERE EXISTS (
+        SELECT 1 FROM way_tags wt
+        WHERE wt.tile=i.tile AND wt.way_id=i.way_id AND wt.k IN ({keylist})
+          AND EXISTS (SELECT 1 FROM node_tags nt
+                      WHERE nt.tile=i.tile AND nt.node_id=i.node_id
+                        AND nt.k=wt.k AND nt.v=wt.v))
+),
+named AS (
+    SELECT p.tile, p.way_id, p.node_id,
+           (SELECT MAX(v) FROM way_tags wt WHERE wt.tile=p.tile
+            AND wt.way_id=p.way_id AND wt.k='name') AS wname,
+           (SELECT MAX(v) FROM node_tags nt WHERE nt.tile=p.tile
+            AND nt.node_id=p.node_id AND nt.k='name') AS nname
+    FROM tag_pairs p
+),
+err AS (
+    SELECT {err_select(370, 'node', 'p.node_id', msg,
+        txt1='CAST(p.way_id AS VARCHAR)', txt2='p.wname', tile='p.tile')}
+    FROM named p
+    WHERE COALESCE(p.wname, '') ILIKE COALESCE(p.nname, '')
+)"""
+    return wrap(d, body)

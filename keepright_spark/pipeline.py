@@ -46,6 +46,17 @@ def load_docs(spark: SparkSession, dataset_dir: str) -> DataFrame:
     return spark.read.parquet(f"{dataset_dir}/docs.parquet")
 
 
+def dataset_tiles(dataset_dir: str) -> list[Tile] | None:
+    """Tile list recorded in the dataset's MANIFEST.json (falls back
+    to DEFAULT_TILES when absent)."""
+    try:
+        with open(os.path.join(dataset_dir, "MANIFEST.json")) as f:
+            m = json.load(f)
+        return [Tile(n, left, right, top, bottom) for n, left, right, top, bottom in m["tiles"]]
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def decode_and_tile(
     spark: SparkSession,
     dataset_dir: str,
@@ -53,7 +64,8 @@ def decode_and_tile(
     margin_m: float = DEFAULT_MARGIN_M,
 ) -> OsmViews:
     docs = load_docs(spark, dataset_dir)
-    return assign_tiles(decode(docs), tiles or DEFAULT_TILES, margin_m)
+    tiles = tiles or dataset_tiles(dataset_dir) or DEFAULT_TILES
+    return assign_tiles(decode(docs), tiles, margin_m)
 
 
 def prepare(
@@ -77,13 +89,21 @@ def prepare(
     from pyspark.storagelevel import StorageLevel
 
     docs = load_docs(spark, dataset_dir)
+    tiles = tiles or dataset_tiles(dataset_dir) or DEFAULT_TILES
     base = decode(docs)
     persisted = [getattr(base, n) for n in VIEW_NAMES]
     for df in persisted:
         df.persist(StorageLevel.MEMORY_AND_DISK)
-    v = assign_tiles(base, tiles or DEFAULT_TILES, margin_m)
+    v = assign_tiles(base, tiles, margin_m)
+    # write every view with the session's shuffle parallelism: scan
+    # splits drive downstream task counts, and a 2-file table would
+    # serialize every join/regex built on it (on a cluster this is the
+    # files-per-Iceberg-partition knob)
+    n_files = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     for name in VIEW_NAMES:
-        getattr(v, name).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        getattr(v, name).repartition(n_files).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
     for df in persisted:
         df.unpersist()
     with open(stamp, "w") as f:
@@ -108,17 +128,49 @@ def run_checks(
     v: OsmViews,
     check_ids: list[int] | None = None,
     tiles: list[Tile] | None = None,
+    stage_dir: str | None = None,
+    max_parallel: int = 8,
 ) -> DataFrame:
     """Union the requested checks' _tmp_errors rows and build the
-    clipped error_view (deterministic columns)."""
+    clipped error_view (deterministic columns).
+
+    Two execution shapes:
+
+    * **single-plan** (default for small check sets): one lazy unioned
+      plan — fine for a handful of checks, but a 20+-check union is a
+      plan Catalyst optimizes slower than the checks run;
+    * **staged** (``stage_dir`` set): each check's _tmp_errors rows are
+      materialized to parquet by a *concurrently submitted* Spark job
+      (the reference's per-check temp-table style, run-checks.php:195-216,
+      crossed with its 6-connection parallelism), then one resolve/clip
+      pass reads them all back.  Concurrent job submission keeps the
+      cluster saturated while individual checks sit in narrow stages.
+    """
     registry = check_registry.available_checks()
     if check_ids is None:
         check_ids = sorted(registry)
-    errors = None
-    for cid in check_ids:
-        e = registry[cid](v)
-        errors = e if errors is None else errors.unionByName(e)
-    return build_error_view(errors, v, tiles or DEFAULT_TILES)
+    emit_types = check_registry.check_emits(check_ids)
+    if stage_dir is None:
+        errors = None
+        for cid in check_ids:
+            e = registry[cid](v)
+            errors = e if errors is None else errors.unionByName(e)
+        return build_error_view(errors, v, tiles or DEFAULT_TILES, emit_types)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = v.nodes.sparkSession
+    os.makedirs(stage_dir, exist_ok=True)
+
+    def _stage(cid: int) -> str:
+        out = os.path.join(stage_dir, f"check_{cid:04d}.parquet")
+        registry[cid](v).write.mode("overwrite").parquet(out)
+        return out
+
+    with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+        paths = list(ex.map(_stage, check_ids))
+    errors = spark.read.parquet(*paths)
+    return build_error_view(errors, v, tiles or DEFAULT_TILES, emit_types)
 
 
 def run_dataset(
@@ -127,6 +179,13 @@ def run_dataset(
     check_ids: list[int] | None = None,
     tiles: list[Tile] | None = None,
     margin_m: float = DEFAULT_MARGIN_M,
+    stage_dir: str | None = None,
 ) -> DataFrame:
+    tiles = tiles or dataset_tiles(dataset_dir) or DEFAULT_TILES
     v = tiled_views(spark, dataset_dir, tiles, margin_m)
-    return run_checks(v, check_ids, tiles)
+    if stage_dir is None and (check_ids is None or len(check_ids) > 4):
+        # big check sets default to the staged/concurrent shape
+        import tempfile
+
+        stage_dir = tempfile.mkdtemp(prefix="kr_stage_")
+    return run_checks(v, check_ids, tiles, stage_dir=stage_dir)

@@ -20,10 +20,23 @@ def get_spark(
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores == "*" else max(int(cores), 8)
+    # Partition-size targets scaled to the local test volume (tens of
+    # MB).  On a real cluster at planet scale the Spark defaults
+    # (128m maxPartitionBytes / 64m advisory) are correct — these env
+    # knobs exist so the same code exercises genuine parallelism on
+    # the small synthetic world: without them every scan bin-packs
+    # into 1-2 splits and AQE coalesces each shuffle to one task.
+    max_part = os.environ.get("KR_MAX_PARTITION_BYTES", "1m")
+    open_cost = os.environ.get("KR_OPEN_COST_BYTES", "64k")
+    advisory = os.environ.get("KR_ADVISORY_PARTITION_BYTES", "1m")
     b = (
         SparkSession.builder.appName(app)
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", max_part)
+        .config("spark.sql.files.openCostInBytes", open_cost)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -48,11 +48,37 @@ class Tile:
         return left, right, top, bottom
 
 
+def tile_grid(
+    cols: int,
+    rows: int,
+    lon0: float = 16.20,
+    lat0: float = 48.00,
+    size: float = 0.10,
+) -> list[Tile]:
+    """A cols×rows grid of fixed-size tiles — the scaled twin of the
+    reference's ~85 hand-drawn schemas (web/setup.sql:219-306).  The
+    synthetic world grows by adding tiles at constant object density,
+    exactly how the planet grows relative to one schema."""
+    out = []
+    for r in range(rows):
+        for c in range(cols):
+            out.append(
+                Tile(
+                    f"{chr(ord('A') + r)}{c + 1}",
+                    left=round(lon0 + c * size, 7),
+                    right=round(lon0 + (c + 1) * size, 7),
+                    top=round(lat0 + (r + 1) * size, 7),
+                    bottom=round(lat0 + r * size, 7),
+                )
+            )
+    return out
+
+
 # Scaled-down twin of the reference schema table (FIXTURES.md §2):
 # two adjacent tiles with a 2 km margin.
 DEFAULT_TILES = [
-    Tile("A", left=16.20, right=16.30, top=48.10, bottom=48.00),
-    Tile("B", left=16.30, right=16.40, top=48.10, bottom=48.00),
+    Tile("A1", left=16.20, right=16.30, top=48.10, bottom=48.00),
+    Tile("A2", left=16.30, right=16.40, top=48.10, bottom=48.00),
 ]
 DEFAULT_MARGIN_M = 2000.0
 
