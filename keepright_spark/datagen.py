@@ -31,7 +31,7 @@ from .codec import DOCS_ARROW_SCHEMA, encode_object, fmt_coord
 from .mercator import merc_x, merc_y
 from .tiling import DEFAULT_MARGIN_M, DEFAULT_TILES, Tile
 
-GEN_VERSION = 8  # bump to force dataset regeneration
+GEN_VERSION = 10  # bump to force dataset regeneration
 
 # region covering the scale's tile grid + margins; build_world() sets
 # these per scale so object DENSITY stays constant as the world grows
@@ -674,6 +674,110 @@ def inj_0370_double_place(b: World, rng: np.random.RandomState, n: int) -> None:
                  [("landuse", "forest"), ("name", name)])
 
 
+def inj_0290_restrictions(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(9)
+        via = b.nd(lat7, lon7)
+        nf = b.nd(*_pt_at(lat7, lon7, -100, 0))
+        w_from = b.wy([nf, via], [("highway", "residential")])
+        hw = [("highway", "residential")]
+        if variant == 0:
+            # left geometry + no_left_turn → clean
+            nt = b.nd(*_pt_at(lat7, lon7, 0, 100))
+            w_to = b.wy([via, nt], hw)
+            b.rl([("W", w_from, "from"), ("N", via, "via"), ("W", w_to, "to")],
+                 [("type", "restriction"), ("restriction", "no_left_turn")])
+        elif variant == 1:
+            # right geometry + no_left_turn → 296 (angle +90)
+            nt = b.nd(*_pt_at(lat7, lon7, 0, -100))
+            w_to = b.wy([via, nt], hw)
+            b.rl([("W", w_from, "from"), ("N", via, "via"), ("W", w_to, "to")],
+                 [("type", "restriction"), ("restriction", "no_left_turn")])
+        elif variant == 2:
+            # missing restriction tag → 291
+            nt = b.nd(*_pt_at(lat7, lon7, 0, 100))
+            w_to = b.wy([via, nt], hw)
+            b.rl([("W", w_from, "from"), ("N", via, "via"), ("W", w_to, "to")],
+                 [("type", "restriction")])
+        elif variant == 3:
+            # unknown restriction value → 291
+            nt = b.nd(*_pt_at(lat7, lon7, 0, 100))
+            w_to = b.wy([via, nt], hw)
+            b.rl([("W", w_from, "from"), ("N", via, "via"), ("W", w_to, "to")],
+                 [("type", "restriction"), ("restriction", "no_diagonal_turn")])
+        elif variant == 4:
+            # two from members → 292
+            nf2 = b.nd(*_pt_at(lat7, lon7, -100, 40))
+            w_from2 = b.wy([nf2, via], hw)
+            nt = b.nd(*_pt_at(lat7, lon7, 0, 100))
+            w_to = b.wy([via, nt], hw)
+            b.rl([("W", w_from, "from"), ("W", w_from2, "from"),
+                  ("N", via, "via"), ("W", w_to, "to")],
+                 [("type", "restriction"), ("restriction", "no_left_turn")])
+        elif variant == 5:
+            # from member is a node → 294
+            nt = b.nd(*_pt_at(lat7, lon7, 0, 100))
+            w_to = b.wy([via, nt], hw)
+            b.rl([("N", nf, "from"), ("N", via, "via"), ("W", w_to, "to")],
+                 [("type", "restriction"), ("restriction", "no_left_turn")])
+        elif variant == 6:
+            # via is a middle node of from → 295
+            nfx = b.nd(*_pt_at(lat7, lon7, 100, 0))
+            w_from_mid = b.wy([nf, via, nfx], hw)
+            nt = b.nd(*_pt_at(lat7, lon7, 0, 100))
+            w_to = b.wy([via, nt], hw)
+            b.rl([("W", w_from_mid, "from"), ("N", via, "via"), ("W", w_to, "to")],
+                 [("type", "restriction"), ("restriction", "no_left_turn")])
+        elif variant == 7:
+            # only_straight_on onto oneway ending at via → 297
+            t0 = b.nd(*_pt_at(lat7, lon7, 100, 0))
+            w_to = b.wy([t0, via], hw + [("oneway", "yes")])
+            b.rl([("W", w_from, "from"), ("N", via, "via"), ("W", w_to, "to")],
+                 [("type", "restriction"), ("restriction", "only_straight_on")])
+        else:
+            # no_straight_on onto oneway ending at via → 298
+            t0 = b.nd(*_pt_at(lat7, lon7, 100, 0))
+            w_to = b.wy([t0, via], hw + [("oneway", "yes")])
+            b.rl([("W", w_from, "from"), ("N", via, "via"), ("W", w_to, "to")],
+                 [("type", "restriction"), ("restriction", "no_straight_on")])
+
+
+def inj_0270_motorway_junctions(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(6)
+        m1 = b.nd(*_pt_at(lat7, lon7, -200, 0))
+        j = b.nd(lat7, lon7)
+        m2 = b.nd(*_pt_at(lat7, lon7, 200, 0))
+        o = b.nd(*_pt_at(lat7, lon7, 0, 150))
+        if variant == 0:
+            # residential joins motorway mid-way → 270
+            b.wy([m1, j, m2], [("highway", "motorway")])
+            b.wy([j, o], [("highway", "residential")])
+        elif variant == 1:
+            # motorway_link joins → clean
+            b.wy([m1, j, m2], [("highway", "motorway")])
+            b.wy([j, o], [("highway", "motorway_link")])
+        elif variant == 2:
+            # primary at the END of a single motorway → clean
+            b.wy([m1, j], [("highway", "motorway")])
+            b.wy([j, o], [("highway", "primary")])
+        elif variant == 3:
+            # service with access=private → clean
+            b.wy([m1, j, m2], [("highway", "motorway")])
+            b.wy([j, o], [("highway", "service"), ("access", "private")])
+        elif variant == 4:
+            # service near a rest-area amenity node (~60 m) → clean
+            b.wy([m1, j, m2], [("highway", "motorway")])
+            b.wy([j, o], [("highway", "service")])
+            b.nd(*_pt_at(lat7, lon7, 40, 100), [("amenity", "fuel")])
+        else:
+            # plain service, no exception → 270
+            b.wy([m1, j, m2], [("highway", "motorway")])
+            b.wy([j, o], [("highway", "service")])
+
+
 INJECTORS = [
     (inj_0020_duplicate_nodes, 4),
     (inj_0060_deprecated, 4),
@@ -691,6 +795,8 @@ INJECTORS = [
     (inj_0190_intersections, 6),
     (inj_0400_geometry, 4),
     (inj_0370_double_place, 3),
+    (inj_0290_restrictions, 4),
+    (inj_0270_motorway_junctions, 3),
 ]
 
 

@@ -1529,3 +1529,331 @@ err AS (
     WHERE COALESCE(p.wname, '') ILIKE COALESCE(p.nname, '')
 )"""
     return wrap(d, body)
+
+
+def oracle_0290(d: str) -> str:
+    rtypes = (
+        "'restriction','restriction:hgv','restriction:caravan',"
+        "'restriction:motorcar','restriction:bus','restriction:agricultural',"
+        "'restriction:motorcycle','restriction:bicycle','restriction:hazmat'"
+    )
+    known = (
+        "'no_left_turn','no_right_turn','no_u_turn','only_straight_on',"
+        "'no_straight_on','only_left_turn','only_right_turn','no_entry','no_exit'"
+    )
+    msg_card = "'A turn-restriction needs exactly one $1 member. This one has $2'"
+    body = f"""
+base AS (
+    SELECT DISTINCT tile, relation_id FROM relation_tags
+    WHERE k='type' AND v IN ({rtypes})
+),
+pin AS (
+    SELECT b.tile, b.relation_id,
+        (SELECT member_id FROM relation_members m WHERE m.tile=b.tile
+         AND m.relation_id=b.relation_id AND m.member_role='from'
+         AND m.member_type='W' ORDER BY m.sequence_id LIMIT 1) AS from_id,
+        (SELECT member_id FROM relation_members m WHERE m.tile=b.tile
+         AND m.relation_id=b.relation_id AND m.member_role='to'
+         AND m.member_type='W' ORDER BY m.sequence_id LIMIT 1) AS to_id,
+        (SELECT member_id FROM relation_members m WHERE m.tile=b.tile
+         AND m.relation_id=b.relation_id AND m.member_role='via'
+         AND m.member_type='N' ORDER BY m.sequence_id LIMIT 1) AS via_id
+    FROM base b
+),
+rr0 AS (
+    SELECT p.*, n.lat AS via_lat, n.lon AS via_lon, n.x AS via_x, n.y AS via_y
+    FROM pin p LEFT JOIN nodes n ON p.tile=n.tile AND p.via_id=n.id
+),
+rtags AS (
+    SELECT tile, relation_id, v FROM relation_tags WHERE k IN ({rtypes})
+),
+e291a AS (
+    SELECT tile, relation_id FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM rtags t WHERE t.tile=b.tile
+                      AND t.relation_id=b.relation_id)
+),
+e291b AS (
+    SELECT DISTINCT b.tile, b.relation_id
+    FROM base b JOIN rtags t ON b.tile=t.tile AND b.relation_id=t.relation_id
+    WHERE t.v NOT IN ({known})
+),
+card AS (
+    SELECT b.tile, b.relation_id, r.role, COUNT(m.member_id) AS n
+    FROM base b CROSS JOIN (SELECT 'from' AS role UNION ALL SELECT 'to') r
+    LEFT JOIN relation_members m ON m.tile=b.tile
+      AND m.relation_id=b.relation_id AND m.member_role=r.role
+    GROUP BY b.tile, b.relation_id, r.role
+    HAVING COUNT(m.member_id) <> 1
+),
+e294 AS (
+    SELECT b.tile, b.relation_id,
+        string_agg(m.member_role ||
+          CASE WHEN m.member_type='N' THEN ' node #' ELSE ' relation #' END ||
+          m.member_id, ',' ORDER BY m.sequence_id) AS lst
+    FROM base b JOIN relation_members m
+      ON b.tile=m.tile AND b.relation_id=m.relation_id
+    WHERE m.member_role IN ('from','to') AND m.member_type <> 'W'
+    GROUP BY b.tile, b.relation_id
+),
+bad AS (
+    SELECT tile, relation_id FROM e291a
+    UNION SELECT tile, relation_id FROM e291b
+    UNION SELECT tile, relation_id FROM card
+    UNION SELECT tile, relation_id FROM e294
+),
+rr AS (
+    SELECT * FROM rr0 r
+    WHERE r.from_id IS NOT NULL AND r.to_id IS NOT NULL AND r.via_id IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM bad x WHERE x.tile=r.tile
+                      AND x.relation_id=r.relation_id)
+),
+e295 AS (
+    SELECT r.tile, r.relation_id, 1e7*r.via_lat AS lat_d, 1e7*r.via_lon AS lon_d,
+           CAST(r.via_id AS VARCHAR) AS t1, CAST(r.from_id AS VARCHAR) AS t2,
+           'from' AS which
+    FROM rr r JOIN ways w ON r.tile=w.tile AND r.from_id=w.id
+    WHERE r.via_id <> w.first_node_id AND r.via_id <> w.last_node_id
+    UNION ALL
+    SELECT r.tile, r.relation_id, 1e7*r.via_lat, 1e7*r.via_lon,
+           CAST(r.via_id AS VARCHAR), CAST(r.to_id AS VARCHAR), 'to'
+    FROM rr r JOIN ways w ON r.tile=w.tile AND r.to_id=w.id
+    WHERE r.via_id <> w.first_node_id AND r.via_id <> w.last_node_id
+),
+ranked AS (
+    SELECT tile, way_id, node_id, x, y,
+        ROW_NUMBER() OVER (PARTITION BY tile, way_id ORDER BY sequence_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY tile, way_id ORDER BY sequence_id DESC) AS rn_d
+    FROM way_nodes
+),
+adj_from AS (
+    SELECT r.tile, r.relation_id, k.x AS nf_x, k.y AS nf_y
+    FROM rr r JOIN ways w ON r.tile=w.tile AND r.from_id=w.id
+    JOIN ranked k ON k.tile=r.tile AND k.way_id=r.from_id
+     AND CASE WHEN r.via_id=w.first_node_id THEN k.rn_a=2 ELSE k.rn_d=2 END
+),
+adj_to AS (
+    SELECT r.tile, r.relation_id, k.x AS nt_x, k.y AS nt_y
+    FROM rr r JOIN ways w ON r.tile=w.tile AND r.to_id=w.id
+    JOIN ranked k ON k.tile=r.tile AND k.way_id=r.to_id
+     AND CASE WHEN r.via_id=w.first_node_id THEN k.rn_a=2 ELSE k.rn_d=2 END
+),
+ang AS (
+    SELECT r.tile, r.relation_id, r.via_lat, r.via_lon, t.v,
+        (CASE WHEN (ATAN2(r.nt_x2-r.via_x, r.nt_y2-r.via_y)
+                    - ATAN2(r.via_x-r.nf_x2, r.via_y-r.nf_y2)) > PI()
+              THEN ((ATAN2(r.nt_x2-r.via_x, r.nt_y2-r.via_y)
+                     - ATAN2(r.via_x-r.nf_x2, r.via_y-r.nf_y2))/PI() - 2)*180
+              WHEN (ATAN2(r.nt_x2-r.via_x, r.nt_y2-r.via_y)
+                    - ATAN2(r.via_x-r.nf_x2, r.via_y-r.nf_y2)) < -PI()
+              THEN ((ATAN2(r.nt_x2-r.via_x, r.nt_y2-r.via_y)
+                     - ATAN2(r.via_x-r.nf_x2, r.via_y-r.nf_y2))/PI() + 2)*180
+              ELSE (ATAN2(r.nt_x2-r.via_x, r.nt_y2-r.via_y)
+                    - ATAN2(r.via_x-r.nf_x2, r.via_y-r.nf_y2))/PI()*180 END) AS dd
+    FROM (
+        SELECT q.*, f.nf_x AS nf_x2, f.nf_y AS nf_y2, g.nt_x AS nt_x2, g.nt_y AS nt_y2
+        FROM rr q
+        LEFT JOIN adj_from f ON q.tile=f.tile AND q.relation_id=f.relation_id
+        LEFT JOIN adj_to g ON q.tile=g.tile AND q.relation_id=g.relation_id
+    ) r
+    LEFT JOIN rtags t ON r.tile=t.tile AND r.relation_id=t.relation_id
+),
+e296 AS (
+    SELECT a.tile, a.relation_id, 1e7*a.via_lat AS lat_d, 1e7*a.via_lon AS lon_d,
+           a.v AS t1, CAST(CAST(ROUND(a.dd) AS BIGINT) AS VARCHAR) AS t2
+    FROM ang a
+    WHERE a.dd IS NOT NULL
+      AND NOT (CASE
+           WHEN a.v IN ('only_straight_on','no_straight_on')
+                AND a.dd > -50 AND a.dd < 50 THEN TRUE
+           WHEN a.v IN ('only_right_turn','no_right_turn') AND a.dd > 5 THEN TRUE
+           WHEN a.v IN ('only_left_turn','no_left_turn') AND a.dd < -5 THEN TRUE
+           WHEN a.v = 'no_u_turn' AND (a.dd < -95 OR a.dd > 179.99) THEN TRUE
+           ELSE FALSE END)
+      AND NOT EXISTS (SELECT 1 FROM e295 x WHERE x.tile=a.tile
+                      AND x.relation_id=a.relation_id)
+),
+to_dir AS (
+    SELECT DISTINCT r.tile, r.relation_id, r.via_lat, r.via_lon, r.to_id, t.v
+    FROM rr r
+    JOIN relation_tags t ON r.tile=t.tile AND r.relation_id=t.relation_id
+      AND t.k='restriction'
+    JOIN ways w ON r.tile=w.tile AND r.to_id=w.id
+    JOIN way_tags wt ON r.tile=wt.tile AND r.to_id=wt.way_id AND wt.k='oneway'
+    WHERE (wt.v='yes' AND r.via_id=w.last_node_id)
+       OR (wt.v='-1' AND r.via_id=w.first_node_id)
+),
+err AS (
+    SELECT {err_select(291, 'relation', 'relation_id',
+        "'This turn-restriction has no restriction type'")} FROM e291a
+    UNION ALL
+    SELECT {err_select(291, 'relation', 'relation_id',
+        "'This turn-restriction has no known restriction type'")} FROM e291b
+    UNION ALL
+    SELECT {err_select("CASE WHEN role='from' THEN 292 ELSE 293 END",
+        'relation', 'relation_id', msg_card,
+        txt1='role', txt2='CAST(n AS VARCHAR)')} FROM card
+    UNION ALL
+    SELECT {err_select(294, 'relation', 'relation_id',
+        "'From- and To-members of turn restrictions need to be ways. $1'",
+        txt1=_html('lst'))} FROM e294
+    UNION ALL
+    SELECT {err_select(295, 'relation', 'relation_id',
+        '''CASE WHEN which='from'
+           THEN 'via (node #$1) is not the first or the last member of from (way #$2)'
+           ELSE 'via (node #$1) is not the first or the last member of to (way #$2)' END''',
+        txt1='t1', txt2='t2', lat_d='lat_d', lon_d='lon_d')} FROM e295
+    UNION ALL
+    SELECT {err_select(296, 'relation', 'relation_id',
+        "'restriction type is $1, but angle is $2 degrees. Maybe the restriction type is not appropriate?'",
+        txt1='t1', txt2='t2', lat_d='lat_d', lon_d='lon_d')} FROM e296
+    UNION ALL
+    SELECT {err_select(297, 'relation', 'relation_id',
+        "'wrong direction of to way $1'",
+        txt1='CAST(to_id AS VARCHAR)',
+        lat_d='1e7*via_lat', lon_d='1e7*via_lon')} FROM to_dir
+    WHERE v IN ('only_straight_on','only_left_turn','only_right_turn')
+    UNION ALL
+    SELECT {err_select(298, 'relation', 'relation_id',
+        "'entry already prohibited by oneway tag on $1'",
+        txt1='CAST(to_id AS VARCHAR)',
+        lat_d='1e7*via_lat', lon_d='1e7*via_lon')} FROM to_dir
+    WHERE v IN ('no_straight_on','no_left_turn','no_right_turn','no_u_turn')
+)"""
+    return wrap(d, body)
+
+
+def _psd2(px, py, ax, ay, bx, by) -> str:
+    """Inline DuckDB squared point→segment distance mirroring
+    spatial.point_seg_dist2 (same operation order)."""
+    len2 = f"((({bx})-({ax}))*(({bx})-({ax})) + (({by})-({ay}))*(({by})-({ay})))"
+    traw = (
+        f"(((({px})-({ax}))*(({bx})-({ax}))"
+        f"+(({py})-({ay}))*(({by})-({ay})))/{len2})"
+    )
+    tt = f"(CASE WHEN {len2} = 0 THEN 0.0 ELSE GREATEST(0.0, LEAST(1.0, {traw})) END)"
+    cx = f"(({ax}) + {tt}*(({bx})-({ax})))"
+    cy = f"(({ay}) + {tt}*(({by})-({ay})))"
+    return f"((({px})-{cx})*(({px})-{cx}) + (({py})-{cy})*(({py})-{cy}))"
+
+
+def oracle_0270(d: str) -> str:
+    from .spatial import seg_cross_sql
+
+    msg = (
+        "'This node is a junction of a motorway and a highway other than "
+        "motorway, motorway_link, trunk or construction. Service or "
+        "unclassified is only valid if it has access=no/private or it leads "
+        "to a motorway service area or if it is a service=parking_aisle.'"
+    )
+    allowed = (
+        "'motorway','motorway_link','trunk','construction','preproposed',"
+        "'proposed','service','unclassified','track','emergency_bay',"
+        "'footway','path','steps'"
+    )
+    svc = "'service','unclassified','track','footway','path'"
+    amen = (
+        "((k='amenity' AND v IN ('parking','fuel','restaurant','toilets')) "
+        "OR (k='highway' AND v IN ('services','rest_area')))"
+    )
+    ss_min = "LEAST({}, {}, {}, {})".format(
+        _psd2("s.ax", "s.ay", "a.ax", "a.ay", "a.bx", "a.by"),
+        _psd2("s.bx", "s.by", "a.ax", "a.ay", "a.bx", "a.by"),
+        _psd2("a.ax", "a.ay", "s.ax", "s.ay", "s.bx", "s.by"),
+        _psd2("a.bx", "a.by", "s.ax", "s.ay", "s.bx", "s.by"),
+    )
+    ss_cross = seg_cross_sql(
+        "s.ax", "s.ay", "s.bx", "s.by", "a.ax", "a.ay", "a.bx", "a.by"
+    )
+    body = f"""
+{SEGS_SQL.strip().rstrip(')')}),
+mw AS (
+    SELECT DISTINCT tile, way_id FROM way_tags
+    WHERE k='highway' AND v='motorway'
+),
+junc0 AS (
+    SELECT wn.tile, wn.way_id, wn.node_id
+    FROM way_nodes wn JOIN mw ON wn.tile=mw.tile AND wn.way_id=mw.way_id
+),
+endpoint_nodes AS (
+    SELECT g.tile, g.node_id
+    FROM (SELECT tile, node_id, MAX(way_id) AS way_id
+          FROM junc0 GROUP BY tile, node_id
+          HAVING COUNT(way_id) = 1) g
+    JOIN ways w ON g.tile=w.tile AND g.way_id=w.id
+    WHERE g.node_id=w.first_node_id OR g.node_id=w.last_node_id
+),
+junc AS (
+    SELECT * FROM junc0 j
+    WHERE NOT EXISTS (SELECT 1 FROM endpoint_nodes e
+                      WHERE e.tile=j.tile AND e.node_id=j.node_id)
+),
+excepted AS (
+    SELECT DISTINCT tile, way_id FROM way_tags
+    WHERE (k='access' AND v IN ('no','private','emergency'))
+       OR (k='vehicle' AND v IN ('no','private','emergency'))
+       OR (k='service' AND v='parking_aisle')
+),
+svc_class AS (
+    SELECT DISTINCT tile, way_id FROM way_tags
+    WHERE k='highway' AND v IN ({svc})
+),
+service_pairs AS (
+    SELECT DISTINCT wn.tile, wn.node_id, wn.way_id AS oway
+    FROM way_nodes wn JOIN junc j ON wn.tile=j.tile AND wn.node_id=j.node_id
+    WHERE wn.way_id <> j.way_id
+      AND EXISTS (SELECT 1 FROM svc_class s WHERE s.tile=wn.tile
+                  AND s.way_id=wn.way_id)
+      AND NOT EXISTS (SELECT 1 FROM excepted x WHERE x.tile=wn.tile
+                      AND x.way_id=wn.way_id)
+),
+amen_way_segs AS (
+    SELECT s.* FROM all_segs s
+    WHERE EXISTS (SELECT 1 FROM way_tags wt WHERE wt.tile=s.tile
+                  AND wt.way_id=s.way_id AND {amen})
+),
+amen_node_pts AS (
+    SELECT n.tile, n.x, n.y FROM nodes n
+    WHERE EXISTS (SELECT 1 FROM node_tags nt WHERE nt.tile=n.tile
+                  AND nt.node_id=n.id AND {amen.replace("k=", "nt.k=").replace("v IN", "nt.v IN")})
+),
+near_ways AS (
+    SELECT DISTINCT s.tile, s.way_id
+    FROM (SELECT g.* FROM all_segs g
+          WHERE EXISTS (SELECT 1 FROM service_pairs p
+                        WHERE p.tile=g.tile AND p.oway=g.way_id)) s
+    JOIN amen_way_segs a ON s.tile=a.tile
+    WHERE ({ss_cross}) OR {ss_min} <= 10000.0
+    UNION
+    SELECT DISTINCT s.tile, s.way_id
+    FROM (SELECT g.* FROM all_segs g
+          WHERE EXISTS (SELECT 1 FROM service_pairs p
+                        WHERE p.tile=g.tile AND p.oway=g.way_id)) s
+    JOIN amen_node_pts a ON s.tile=a.tile
+    WHERE {_psd2("a.x", "a.y", "s.ax", "s.ay", "s.bx", "s.by")} <= 10000.0
+),
+veto_nodes AS (
+    SELECT DISTINCT p.tile, p.node_id FROM service_pairs p
+    WHERE EXISTS (SELECT 1 FROM near_ways nw WHERE nw.tile=p.tile
+                  AND nw.way_id=p.oway)
+),
+junc_kept AS (
+    SELECT * FROM junc j
+    WHERE NOT EXISTS (SELECT 1 FROM veto_nodes vn WHERE vn.tile=j.tile
+                      AND vn.node_id=j.node_id)
+),
+bad_ways AS (
+    SELECT DISTINCT tile, way_id FROM way_tags
+    WHERE k='highway' AND v NOT IN ({allowed})
+    UNION
+    SELECT s.tile, s.way_id FROM svc_class s
+    WHERE NOT EXISTS (SELECT 1 FROM excepted x WHERE x.tile=s.tile
+                      AND x.way_id=s.way_id)
+),
+err AS (
+    SELECT DISTINCT {err_select(270, 'node', 'wn.node_id', msg, tile='wn.tile')}
+    FROM way_nodes wn JOIN junc_kept j ON wn.tile=j.tile AND wn.node_id=j.node_id
+    WHERE wn.way_id <> j.way_id
+      AND EXISTS (SELECT 1 FROM bad_ways b WHERE b.tile=wn.tile
+                  AND b.way_id=wn.way_id)
+)"""
+    return wrap(d, body)
