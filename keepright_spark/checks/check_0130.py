@@ -1,0 +1,153 @@
+"""Check 0130 — floating islands.
+
+Reference: /root/reference/checks/0130_islands.php (561 LoC).
+
+Member ways (0130:372-393): highways (minus emergency_access_point /
+construction / services / preproposed / proposed / rest_area) ∪
+route=ferry ∪ man_made=pier ∪ aeroway taxiway/runway/apron ∪
+amenity=parking ∪ railway|public_transport=platform ∪ W-members of
+route=ferry relations.  Junction nodes = nodes used by ≥2 distinct
+member ways (0130:403-413).
+
+* error (upfront, 0130:424-444): member way with no junction node at
+  all — unless it is a connector-only class (pier/aeroway/parking/
+  platform);
+* BFS from the configured seed ways over way→junction-node→way until
+  fixpoint (0130:494-525); member ways with junctions that remain
+  unreached are errors (0130:532-547), connector classes excluded.
+
+Seed ways come from the dataset manifest (datagen.island_seeds — the
+twin of the reference's hand-picked per-region list, 0130:26-335).
+
+Spark: iterative frontier join with localCheckpoint per round; the
+frontier is (tile, way_id) so every tile's island search proceeds in
+the same rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..codec import OsmViews
+from ..errors import finish_errors
+
+MSGID = "This way is not connected to the rest of the map"
+MAX_ROUNDS = 200
+HW_EXCLUDED = [
+    "emergency_access_point", "construction", "services", "preproposed",
+    "proposed", "rest_area",
+]
+
+
+def _member_ways(v: OsmViews) -> DataFrame:
+    t = v.way_tags
+    direct = t.filter(
+        ((F.col("k") == "highway") & ~F.col("v").isin(HW_EXCLUDED))
+        | ((F.col("k") == "route") & (F.col("v") == "ferry"))
+        | ((F.col("k") == "man_made") & (F.col("v") == "pier"))
+        | ((F.col("k") == "aeroway") & F.col("v").isin("taxiway", "runway", "apron"))
+        | ((F.col("k") == "amenity") & (F.col("v") == "parking"))
+        | (F.col("k").isin("railway", "public_transport") & (F.col("v") == "platform"))
+    ).select("tile", "way_id")
+    ferry_rel = (
+        v.relation_tags.filter((F.col("k") == "route") & (F.col("v") == "ferry"))
+        .select("tile", "relation_id")
+        .distinct()
+    )
+    ferry_members = (
+        v.relation_members.filter(F.col("member_type") == "W")
+        .join(ferry_rel, ["tile", "relation_id"], "left_semi")
+        .select("tile", F.col("member_id").alias("way_id"))
+    )
+    return direct.unionByName(ferry_members).distinct()
+
+
+def _connector_only(v: OsmViews) -> DataFrame:
+    """(tile, way_id) of classes excluded from error reports
+    (0130:433-443)."""
+    return (
+        v.way_tags.filter(
+            ((F.col("k") == "man_made") & (F.col("v") == "pier"))
+            | ((F.col("k") == "aeroway") & F.col("v").isin("taxiway", "runway", "apron"))
+            | ((F.col("k") == "amenity") & (F.col("v") == "parking"))
+            | (
+                F.col("k").isin("railway", "public_transport")
+                & (F.col("v") == "platform")
+            )
+        )
+        .select("tile", "way_id")
+        .distinct()
+    )
+
+
+def run(v: OsmViews) -> DataFrame:
+    mw = _member_ways(v)
+    wn = v.way_nodes.select("tile", "way_id", "node_id").join(
+        mw, ["tile", "way_id"], "left_semi"
+    )
+    junctions = (
+        wn.groupBy("tile", "node_id")
+        .agg(F.count_distinct("way_id").alias("nw"))
+        .filter(F.col("nw") > 1)
+        .select("tile", "node_id")
+    )
+    # member way_nodes restricted to junction nodes (_tmp_wn)
+    wnj = wn.join(junctions, ["tile", "node_id"], "left_semi").persist()
+    connector = _connector_only(v)
+
+    # error A: member way with no junction at all
+    no_junction = (
+        mw.join(wnj.select("tile", "way_id").distinct(), ["tile", "way_id"], "left_anti")
+        .join(connector, ["tile", "way_id"], "left_anti")
+    )
+
+    # BFS from the seeds
+    seeds = v.island_seeds or []
+    spark = v.ways.sparkSession
+    seeds_df = F.broadcast(
+        spark.createDataFrame([(int(s),) for s in seeds] or [(-1,)], "way_id long")
+    )
+    frontier = (
+        wnj.select("tile", "way_id")
+        .distinct()
+        .join(seeds_df, "way_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    reached = frontier
+    for _ in range(MAX_ROUNDS):
+        nodes = (
+            frontier.join(wnj, ["tile", "way_id"])
+            .select("tile", "node_id")
+            .distinct()
+        )
+        new_ways = (
+            nodes.join(wnj, ["tile", "node_id"])
+            .select("tile", "way_id")
+            .distinct()
+            .join(reached, ["tile", "way_id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new_ways.isEmpty():
+            break
+        reached = reached.unionByName(new_ways).localCheckpoint(eager=True)
+        frontier = new_ways
+
+    unreached = (
+        wnj.select("tile", "way_id")
+        .distinct()
+        .join(reached, ["tile", "way_id"], "left_anti")
+        .join(connector, ["tile", "way_id"], "left_anti")
+    )
+    e = (
+        no_junction.unionByName(unreached)
+        .distinct()
+        .select("tile", F.col("way_id").alias("object_id"))
+    )
+    out = finish_errors(e, 130, "way", MSGID)
+    wnj.unpersist()
+    return out
+
+
+# object types this check can emit (error_view resolution pruning)
+EMITS = ("way",)

@@ -149,6 +149,10 @@ class OsmViews:
     relation_members: DataFrame  # relation_id, member_id, member_role,
     #                              member_type, sequence_id
     relation_tags: DataFrame  # relation_id, k, v
+    # island-seed way ids for check 0130 (dataset config, the twin of
+    # the reference's $islands list, 0130_islands.php:26-335); None →
+    # no seeds configured
+    island_seeds: list | None = None
 
 
 def _exploded(docs: DataFrame) -> DataFrame:

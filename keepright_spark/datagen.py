@@ -31,7 +31,7 @@ from .codec import DOCS_ARROW_SCHEMA, encode_object, fmt_coord
 from .mercator import merc_x, merc_y
 from .tiling import DEFAULT_MARGIN_M, DEFAULT_TILES, Tile
 
-GEN_VERSION = 10  # bump to force dataset regeneration
+GEN_VERSION = 14  # bump to force dataset regeneration
 
 # region covering the scale's tile grid + margins; build_world() sets
 # these per scale so object DENSITY stays constant as the world grows
@@ -778,6 +778,167 @@ def inj_0270_motorway_junctions(b: World, rng: np.random.RandomState, n: int) ->
             b.wy([j, o], [("highway", "service")])
 
 
+def inj_0030_areas(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(4)
+        c1 = b.nd(*_pt_at(lat7, lon7, 0, 0))
+        c2 = b.nd(*_pt_at(lat7, lon7, 150, 0))
+        c3 = b.nd(*_pt_at(lat7, lon7, 150, 150))
+        c4 = b.nd(*_pt_at(lat7, lon7, 0, 150))
+        tag = [("landuse", "meadow")]
+        if variant == 0:
+            # ring split into two open ways, connected → clean
+            b.wy([c1, c2, c3], tag)
+            b.wy([c3, c4, c1], tag)
+        elif variant == 1:
+            # lone open area way → 30
+            b.wy([c1, c2, c3], tag)
+        elif variant == 2:
+            # ring split into three ways → clean
+            b.wy([c1, c2], tag)
+            b.wy([c2, c3], tag)
+            b.wy([c3, c4, c1], tag)
+        else:
+            # open chain (connected at one end only) → both error
+            b.wy([c1, c2, c3], tag)
+            b.wy([c3, c4], tag)
+
+
+def inj_0310_roundabouts(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(7)
+        r = 30.0
+        # ring points counterclockwise in x/y (east, north)
+        ring_pts = [
+            _pt_at(lat7, lon7, r * np.cos(2 * np.pi * i / 8),
+                   r * np.sin(2 * np.pi * i / 8))
+            for i in range(8)
+        ]
+        ra_tags = [("highway", "residential"), ("junction", "roundabout")]
+
+        def connect(node, dx, dy):
+            far = b.nd(*_pt_at(lat7, lon7, dx, dy))
+            b.wy([node, far], [("highway", "residential")])
+
+        if variant == 0:
+            # closed CCW + 3 roads → clean
+            ids = [b.nd(*p) for p in ring_pts]
+            b.wy(ids + [ids[0]], ra_tags)
+            connect(ids[0], 200, 0)
+            connect(ids[2], 0, 200)
+            connect(ids[4], -200, 0)
+        elif variant == 1:
+            # closed CW + 3 roads → 312
+            ids = [b.nd(*p) for p in reversed(ring_pts)]
+            b.wy(ids + [ids[0]], ra_tags)
+            connect(ids[0], 200, 0)
+            connect(ids[2], 0, 200)
+            connect(ids[4], -200, 0)
+        elif variant == 2:
+            # two CCW arcs forming a closed ring + 3 roads → clean
+            ids = [b.nd(*p) for p in ring_pts]
+            b.wy(ids[:5], ra_tags)
+            b.wy(ids[4:] + [ids[0]], ra_tags)
+            connect(ids[0], 200, 0)
+            connect(ids[2], 0, 200)
+            connect(ids[6], 0, -200)
+        elif variant == 3:
+            # open arc → 311
+            ids = [b.nd(*p) for p in ring_pts[:5]]
+            b.wy(ids, ra_tags)
+            connect(ids[0], 200, 0)
+            connect(ids[2], 0, 200)
+            connect(ids[4], -200, 0)
+        elif variant == 4:
+            # closed CCW with only 2 roads → 313
+            ids = [b.nd(*p) for p in ring_pts]
+            b.wy(ids + [ids[0]], ra_tags)
+            connect(ids[0], 200, 0)
+            connect(ids[4], -200, 0)
+        elif variant == 5:
+            # mini roundabouts
+            d = "clockwise" if rng.rand() < 0.5 else "anticlockwise"
+            b.nd(lat7, lon7, [("highway", "mini_roundabout"), ("direction", d)])
+        else:
+            # UK boundary (LHT) around a CCW roundabout → 312 "left"
+            s = 1200.0
+            c1 = b.nd(*_pt_at(lat7, lon7, -s, -s))
+            c2 = b.nd(*_pt_at(lat7, lon7, s, -s))
+            c3 = b.nd(*_pt_at(lat7, lon7, s, s))
+            c4 = b.nd(*_pt_at(lat7, lon7, -s, s))
+            bway = b.wy([c1, c2, c3, c4, c1], [])
+            b.rl(
+                [("W", bway, "outer")],
+                [("type", "boundary"), ("boundary", "administrative"),
+                 ("name", "United Kingdom"), ("admin_level", "2")],
+            )
+            ids = [b.nd(*p) for p in ring_pts]
+            b.wy(ids + [ids[0]], ra_tags)
+            connect(ids[0], 200, 0)
+            connect(ids[2], 0, 200)
+            connect(ids[4], -200, 0)
+
+
+
+def inj_0280_boundaries(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(6)
+        sz = 400.0
+        c1 = b.nd(*_pt_at(lat7, lon7, -sz, -sz))
+        c2 = b.nd(*_pt_at(lat7, lon7, sz, -sz))
+        c3 = b.nd(*_pt_at(lat7, lon7, sz, sz))
+        c4 = b.nd(*_pt_at(lat7, lon7, -sz, sz))
+        nm = f"District {c1 % 1000}"
+        if variant == 0:
+            # proper closed two-way relation boundary -> clean
+            w1 = b.wy([c1, c2, c3], [])
+            w2 = b.wy([c3, c4, c1], [])
+            b.rl([("W", w1, "outer"), ("W", w2, "outer")],
+                 [("type", "boundary"), ("boundary", "administrative"),
+                  ("name", nm), ("admin_level", "6")])
+        elif variant == 1:
+            # missing name -> 281
+            w1 = b.wy([c1, c2, c3, c4, c1], [])
+            b.rl([("W", w1, "outer")],
+                 [("type", "boundary"), ("boundary", "administrative"),
+                  ("admin_level", "6")])
+        elif variant == 2:
+            # bad admin_level -> 282 (missing or 6;7)
+            w1 = b.wy([c1, c2, c3, c4, c1], [])
+            tags = [("type", "boundary"), ("boundary", "administrative"),
+                    ("name", nm)]
+            if rng.rand() < 0.5:
+                tags.append(("admin_level", "6;7"))
+            b.rl([("W", w1, "outer")], tags)
+        elif variant == 3:
+            # open ring -> 283
+            w1 = b.wy([c1, c2, c3], [])
+            w2 = b.wy([c3, c4], [])
+            b.rl([("W", w1, "outer"), ("W", w2, "outer")],
+                 [("type", "boundary"), ("boundary", "administrative"),
+                  ("name", nm), ("admin_level", "6")])
+        elif variant == 4:
+            # splitting boundary: endpoint used 3x in one part -> 284
+            w1 = b.wy([c1, c2, c3], [])
+            w2 = b.wy([c3, c4, c1], [])
+            tail = b.nd(*_pt_at(lat7, lon7, 2 * sz, 2 * sz))
+            w3 = b.wy([c3, tail], [])
+            b.rl([("W", w1, "outer"), ("W", w2, "outer"), ("W", w3, "outer")],
+                 [("type", "boundary"), ("boundary", "administrative"),
+                  ("name", nm), ("admin_level", "6")])
+        else:
+            # own-tagged member way with higher admin_level -> 285
+            w1 = b.wy([c1, c2, c3, c4, c1],
+                      [("boundary", "administrative"),
+                       ("left:state", f"L{c1 % 100}"), ("admin_level", "8")])
+            b.rl([("W", w1, "outer")],
+                 [("type", "boundary"), ("boundary", "administrative"),
+                  ("name", nm), ("admin_level", "6")])
+
+
 INJECTORS = [
     (inj_0020_duplicate_nodes, 4),
     (inj_0060_deprecated, 4),
@@ -797,6 +958,9 @@ INJECTORS = [
     (inj_0370_double_place, 3),
     (inj_0290_restrictions, 4),
     (inj_0270_motorway_junctions, 3),
+    (inj_0030_areas, 3),
+    (inj_0310_roundabouts, 4),
+    (inj_0280_boundaries, 3),
 ]
 
 
@@ -902,6 +1066,201 @@ def _write_docs(b: World, path: str) -> None:
         schema=DOCS_ARROW_SCHEMA,
     )
     pq.write_table(table, path)
+
+
+
+_BORDER_ITEMS = [
+    "city", "village", "departement", "county", "region", "country",
+    "border", "district", "commune", "parish", "state", "suburb", "town",
+    "municipality", "province", "governate", "arrondissement", "borough",
+    "diocese", "unitary", "prefecture",
+]
+_BORDER_KEYS = {f"{s}:{i}" for i in _BORDER_ITEMS for s in ("left", "right")}
+
+
+def _oracle_border_parts(ways_t, way_tags_t, relation_tags_t, rm_t):
+    """Independent implementation of prepare_countries.php's
+    _tmp_border_ways (extraction + 4-case part stitching) for the
+    DuckDB oracle."""
+    rows = []
+    for tile in sorted(set(way_tags_t.tile) | set(relation_tags_t.tile)):
+        wt = way_tags_t[way_tags_t.tile == tile]
+        rt = relation_tags_t[relation_tags_t.tile == tile]
+        rm = rm_t[rm_t.tile == tile]
+        wmeta = {
+            r.id: (None if pd.isna(r.first_node_id) else int(r.first_node_id),
+                   None if pd.isna(r.last_node_id) else int(r.last_node_id))
+            for r in ways_t[ways_t.tile == tile].itertuples()
+        }
+        admin_ways = set(wt[(wt.k == "boundary") & (wt.v == "administrative")].way_id)
+        way_admin = wt[wt.k == "admin_level"].groupby("way_id")["v"].max().to_dict()
+        recs = []
+        for r in wt[wt.k.isin(_BORDER_KEYS)].itertuples():
+            if r.way_id in admin_ways:
+                recs.append({"name": r.v, "admin_level": way_admin.get(r.way_id),
+                             "relation_id": None, "way_id": r.way_id})
+        btype = set(rt[(rt.k == "type") & rt.v.isin(["boundary", "multipolygon"])].relation_id)
+        badmin = set(rt[(rt.k == "boundary") & (rt.v == "administrative")].relation_id)
+        rel_name = rt[rt.k == "name"].groupby("relation_id")["v"].max().to_dict()
+        rel_admin = rt[rt.k == "admin_level"].groupby("relation_id")["v"].max().to_dict()
+        rel_rows = []
+        for rid in sorted(btype & badmin):
+            for m in rm[(rm.relation_id == rid) & (rm.member_type == "W")].itertuples():
+                rel_rows.append({"name": rel_name.get(rid),
+                                 "admin_level": rel_admin.get(rid),
+                                 "relation_id": rid, "way_id": m.member_id})
+        shadowed = {(x["name"], x["admin_level"], x["way_id"]) for x in rel_rows
+                    if x["name"] is not None and x["admin_level"] is not None}
+        recs = [x for x in recs
+                if (x["name"], x["admin_level"], x["way_id"]) not in shadowed]
+        recs += rel_rows
+        for x in recs:
+            f, l = wmeta.get(x["way_id"], (None, None))
+            x["first_node_id"], x["last_node_id"] = f, l
+        bad_rels = {x["relation_id"] for x in recs
+                    if x["relation_id"] is not None and x["first_node_id"] is None}
+        recs = [x for x in recs if x["relation_id"] not in bad_rels
+                or x["relation_id"] is None]
+        recs = [x for x in recs if x["relation_id"] is None
+                or x["relation_id"] not in bad_rels]
+
+        # stitch per (name, admin_level) group
+        import itertools
+        keyf = lambda x: (x["name"] or "", x["admin_level"] or "")
+        recs.sort(key=lambda x: (keyf(x), x["way_id"]))
+        for _, grp_it in itertools.groupby(recs, key=keyf):
+            grp = list(grp_it)
+            for x in grp:
+                x["part"] = None
+                x["sequence_id"] = None
+                x["direction"] = 1
+
+            def _touch(a, c):
+                return (c["first_node_id"] in (a["first_node_id"], a["last_node_id"])
+                        or c["last_node_id"] in (a["first_node_id"], a["last_node_id"]))
+
+            neg = -1
+            for x in grp:
+                if x["first_node_id"] is None:
+                    continue
+                if x["first_node_id"] == x["last_node_id"] and not any(
+                    o is not x and o["way_id"] != x["way_id"]
+                    and o["first_node_id"] is not None and _touch(x, o)
+                    for o in grp
+                ):
+                    x["part"], x["sequence_id"] = neg, 0
+                    neg -= 1
+            pno = 0
+            while True:
+                left = [x for x in grp if x["sequence_id"] is None
+                        and x["first_node_id"] is not None]
+                if not left:
+                    break
+                seed = min(left, key=lambda x: x["way_id"])
+                seed["part"], seed["sequence_id"], seed["direction"] = pno, 0, 1
+                step = 1
+                while True:
+                    got = 0
+                    done = [x for x in grp if x["sequence_id"] is not None]
+
+                    def eff(x):
+                        if x["direction"] == 1:
+                            return x["first_node_id"], x["last_node_id"]
+                        return x["last_node_id"], x["first_node_id"]
+
+                    for tgt, backward in ((step - 1, False), (1 - step, True)):
+                        t0 = [x for x in done if x["sequence_id"] == tgt]
+                        if not t0:
+                            continue
+                        pts = {eff(x)[0] if backward else eff(x)[1] for x in t0}
+                        for revd in (False, True):
+                            for m in [x for x in grp if x["sequence_id"] is None
+                                      and x["first_node_id"] is not None
+                                      and ((x["last_node_id"] if (backward != revd)
+                                            else x["first_node_id"]) in pts)]:
+                                m["part"] = pno
+                                m["sequence_id"] = step if not backward else -step
+                                m["direction"] = -1 if revd else 1
+                                got += 1
+                    if got == 0:
+                        break
+                    step += 1
+                pno += 1
+            for x in grp:
+                rows.append((tile, x["name"], x["admin_level"], x["relation_id"],
+                             x["way_id"], x["first_node_id"], x["last_node_id"],
+                             x["part"], x["sequence_id"], x["direction"]))
+    df = pd.DataFrame(rows, columns=[
+        "tile", "name", "admin_level", "relation_id", "way_id",
+        "first_node_id", "last_node_id", "part", "sequence_id", "direction"])
+    for c in ("relation_id", "first_node_id", "last_node_id"):
+        df[c] = df[c].astype("Int64")
+    for c in ("part", "sequence_id"):
+        df[c] = df[c].astype("Int64")
+    return df
+
+
+def _oracle_roundabout_parts(ways_t: pd.DataFrame, way_tags_t: pd.DataFrame) -> pd.DataFrame:
+    """Independent implementation of check 0310's part stitching
+    (0310_roundabouts.php:29-127) for the DuckDB oracle: per tile,
+    direction-adjusted roundabout ways ordered into parts by the
+    closed-loop preassignment + min-way seeding + forward/backward
+    sequence growth (with the reference's cross-part T0 matching)."""
+    out_rows = []
+    ra = way_tags_t[(way_tags_t.k == "junction") & (way_tags_t.v == "roundabout")]
+    rev = way_tags_t[(way_tags_t.k == "oneway") & (way_tags_t.v == "-1")]
+    for tile in sorted(ra.tile.unique()):
+        ra_ids = set(ra[ra.tile == tile].way_id)
+        rev_ids = set(rev[rev.tile == tile].way_id)
+        wt = ways_t[(ways_t.tile == tile) & ways_t.id.isin(ra_ids)]
+        state = {}
+        for row in wt.itertuples():
+            f, l = row.first_node_id, row.last_node_id
+            if row.id in rev_ids:
+                f, l = l, f
+            state[row.id] = {"first": None if pd.isna(f) else int(f),
+                             "last": None if pd.isna(l) else int(l),
+                             "part": None, "seq": None}
+        ctr = 1
+        for wid in state:
+            st = state[wid]
+            if st["first"] is not None and st["first"] == st["last"]:
+                st["part"], st["seq"] = ctr, 0
+                ctr += 1
+        while True:
+            todo = [w for w, st in state.items()
+                    if st["seq"] is None and st["first"] is not None]
+            if not todo:
+                break
+            seed = min(todo)
+            state[seed]["part"], state[seed]["seq"] = ctr, 0
+            step = 1
+            while True:
+                hits = 0
+                fw_ends = {st["last"] for st in state.values() if st["seq"] == step - 1}
+                for w, st in state.items():
+                    if st["seq"] is None and st["first"] in fw_ends:
+                        st["part"], st["seq"] = ctr, step
+                        hits += 1
+                bw_starts = {st["first"] for st in state.values()
+                             if st["seq"] == -step + 1}
+                for w, st in state.items():
+                    if st["seq"] is None and st["last"] in bw_starts:
+                        st["part"], st["seq"] = ctr, -step
+                        hits += 1
+                if hits == 0:
+                    break
+                step += 1
+            ctr += 1
+        for wid, st in state.items():
+            if st["seq"] is not None:
+                out_rows.append((tile, st["part"], wid, st["seq"],
+                                 st["first"], st["last"]))
+    return pd.DataFrame(
+        out_rows,
+        columns=["tile", "part", "way_id", "sequence_id",
+                 "first_node_id", "last_node_id"],
+    )
 
 
 def _oracle_views(
@@ -1050,6 +1409,9 @@ def _oracle_views(
         columns=["tile", "left", "right", "top", "bottom"],
     )
 
+    roundabout_parts = _oracle_roundabout_parts(ways_t, way_tags_t)
+    border_parts = _oracle_border_parts(ways_t, way_tags_t, relation_tags_t, rm_t)
+
     return {
         "nodes": nodes_t,
         "node_tags": node_tags_t,
@@ -1060,8 +1422,26 @@ def _oracle_views(
         "relation_members": rm_t,
         "relation_tags": relation_tags_t,
         "users": users,
+        "roundabout_parts": roundabout_parts,
+        "border_parts": border_parts,
         "tiles": tiles_df,
     }
+
+
+def island_seeds(b: World, n: int = 5) -> list[int]:
+    """Deterministic seed ways for check 0130: the first ``n`` organic
+    highway-tagged member-class ways — the dataset twin of the
+    reference's hand-picked well-connected seed list
+    (0130_islands.php:26-335)."""
+    excluded = {"emergency_access_point", "construction", "services",
+                "preproposed", "proposed", "rest_area"}
+    out: list[int] = []
+    for way_id, k, v in b.way_tags:
+        if k == "highway" and v not in excluded and way_id not in out:
+            out.append(way_id)
+            if len(out) >= n:
+                break
+    return out
 
 
 def write_dataset(
@@ -1073,6 +1453,7 @@ def write_dataset(
     tiles = tiles or scale_tiles(scale)
     os.makedirs(os.path.join(out_dir, "oracle"), exist_ok=True)
     b = build_world(scale)
+    seeds = island_seeds(b)
     _write_docs(b, os.path.join(out_dir, "docs.parquet"))
     for name, df in _oracle_views(b, tiles, margin_m).items():
         if "tstamp" in df.columns:
@@ -1093,6 +1474,7 @@ def write_dataset(
                 "tiles": [
                     [t.name, t.left, t.right, t.top, t.bottom] for t in tiles
                 ],
+                "island_seeds": seeds,
                 "margin_m": margin_m,
             },
             f,

@@ -26,6 +26,8 @@ ORACLE_TABLES = [
     "relation_members",
     "relation_tags",
     "users",
+    "roundabout_parts",
+    "border_parts",
     "tiles",
 ]
 
@@ -1855,5 +1857,418 @@ err AS (
     WHERE wn.way_id <> j.way_id
       AND EXISTS (SELECT 1 FROM bad_ways b WHERE b.tile=wn.tile
                   AND b.way_id=wn.way_id)
+)"""
+    return wrap(d, body)
+
+
+def oracle_0030(d: str) -> str:
+    from .data_tables import AREA_RULES
+
+    vals = ",\n        ".join(
+        "({}, '{}', {}, '{}')".format(
+            i, k, "NULL" if v == "*" else f"'{v}'", v
+        )
+        for i, (k, v) in enumerate(AREA_RULES)
+    )
+    msg = "'This way is tagged with ''$1=$2'' and should be closed-loop'"
+    body = f"""
+rules (rule_id, rk, rv, rv_disp) AS (
+    SELECT * FROM (VALUES
+        {vals}) t(rule_id, rk, rv, rv_disp)
+),
+cw AS (
+    SELECT DISTINCT wt.tile, r.rule_id, wt.way_id, r.rk AS cls_k,
+           r.rv_disp AS cls_v
+    FROM way_tags wt JOIN rules r
+      ON wt.k=r.rk AND (r.rv IS NULL OR wt.v=r.rv)
+),
+cwn AS (
+    SELECT DISTINCT wn.tile, c.rule_id, wn.way_id, wn.node_id
+    FROM way_nodes wn
+    JOIN (SELECT DISTINCT tile, rule_id, way_id FROM cw) c
+      ON wn.tile=c.tile AND wn.way_id=c.way_id
+),
+jn AS (
+    SELECT tile, rule_id, node_id FROM cwn
+    GROUP BY tile, rule_id, node_id
+    HAVING COUNT(DISTINCT way_id) > 1
+),
+cwn_j AS (
+    SELECT c.* FROM cwn c
+    WHERE EXISTS (SELECT 1 FROM jn j WHERE j.tile=c.tile
+                  AND j.rule_id=c.rule_id AND j.node_id=c.node_id)
+),
+subjects AS (
+    SELECT c.tile, c.rule_id, c.way_id AS sw, w.first_node_id,
+           w.last_node_id, c.cls_k, c.cls_v
+    FROM cw c JOIN ways w ON c.tile=w.tile AND c.way_id=w.id
+    WHERE w.first_node_id <> w.last_node_id
+),
+reach AS (
+    SELECT s.tile, s.rule_id, s.sw, s.first_node_id AS node_id
+    FROM subjects s
+    UNION
+    SELECT r.tile, r.rule_id, r.sw, wn2.node_id
+    FROM reach r
+    JOIN cwn_j wn ON wn.tile=r.tile AND wn.rule_id=r.rule_id
+                 AND wn.node_id=r.node_id AND wn.way_id <> r.sw
+    JOIN cwn_j wn2 ON wn2.tile=wn.tile AND wn2.rule_id=wn.rule_id
+                  AND wn2.way_id=wn.way_id
+),
+err AS (
+    SELECT {err_select(30, 'way', 's.sw', msg,
+        txt1='s.cls_k', txt2='s.cls_v', tile='s.tile')}
+    FROM subjects s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM reach r
+        WHERE r.tile=s.tile AND r.rule_id=s.rule_id AND r.sw=s.sw
+          AND r.node_id=s.last_node_id)
+)"""
+    return f"WITH RECURSIVE {preamble(d)},\n{body},\n{_FINALIZE}"
+
+
+def oracle_0130(d: str) -> str:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(d, "MANIFEST.json")) as f:
+            seeds = _json.load(f).get("island_seeds") or []
+    except (OSError, ValueError):
+        seeds = []
+    seed_vals = ", ".join(f"({int(s)})" for s in seeds) or "(-1)"
+    msg = "'This way is not connected to the rest of the map'"
+    body = f"""
+mw AS (
+    SELECT DISTINCT tile, way_id FROM way_tags
+    WHERE (k='highway' AND v NOT IN ('emergency_access_point','construction',
+           'services','preproposed','proposed','rest_area'))
+       OR (k='route' AND v='ferry')
+       OR (k='man_made' AND v='pier')
+       OR (k='aeroway' AND v IN ('taxiway','runway','apron'))
+       OR (k='amenity' AND v='parking')
+       OR (k IN ('railway','public_transport') AND v='platform')
+    UNION
+    SELECT DISTINCT rm.tile, rm.member_id FROM relation_members rm
+    WHERE rm.member_type='W'
+      AND EXISTS (SELECT 1 FROM relation_tags rt WHERE rt.tile=rm.tile
+                  AND rt.relation_id=rm.relation_id
+                  AND rt.k='route' AND rt.v='ferry')
+),
+wn0 AS (
+    SELECT wn.tile, wn.way_id, wn.node_id
+    FROM way_nodes wn
+    WHERE EXISTS (SELECT 1 FROM mw WHERE mw.tile=wn.tile AND mw.way_id=wn.way_id)
+),
+junctions AS (
+    SELECT tile, node_id FROM wn0
+    GROUP BY tile, node_id HAVING COUNT(DISTINCT way_id) > 1
+),
+wnj AS (
+    SELECT w.* FROM wn0 w
+    WHERE EXISTS (SELECT 1 FROM junctions j WHERE j.tile=w.tile
+                  AND j.node_id=w.node_id)
+),
+connector AS (
+    SELECT DISTINCT tile, way_id FROM way_tags
+    WHERE (k='man_made' AND v='pier')
+       OR (k='aeroway' AND v IN ('taxiway','runway','apron'))
+       OR (k='amenity' AND v='parking')
+       OR (k IN ('railway','public_transport') AND v='platform')
+),
+seeds (way_id) AS (SELECT * FROM (VALUES {seed_vals}) t(way_id)),
+reached AS (
+    SELECT DISTINCT w.tile, w.way_id FROM wnj w
+    WHERE w.way_id IN (SELECT way_id FROM seeds)
+    UNION
+    SELECT w2.tile, w2.way_id
+    FROM reached r
+    JOIN wnj w1 ON w1.tile=r.tile AND w1.way_id=r.way_id
+    JOIN wnj w2 ON w2.tile=w1.tile AND w2.node_id=w1.node_id
+),
+err AS (
+    SELECT DISTINCT {err_select(130, 'way', 'e.way_id', msg, tile='e.tile')}
+    FROM (
+        SELECT m.tile, m.way_id FROM mw m
+        WHERE NOT EXISTS (SELECT 1 FROM wnj w WHERE w.tile=m.tile
+                          AND w.way_id=m.way_id)
+        UNION
+        SELECT w.tile, w.way_id FROM (SELECT DISTINCT tile, way_id FROM wnj) w
+        WHERE NOT EXISTS (SELECT 1 FROM reached r WHERE r.tile=w.tile
+                          AND r.way_id=w.way_id)
+    ) e
+    WHERE NOT EXISTS (SELECT 1 FROM connector c WHERE c.tile=e.tile
+                      AND c.way_id=e.way_id)
+)"""
+    return f"WITH RECURSIVE {preamble(d)},\n{body},\n{_FINALIZE}"
+
+
+def oracle_0310(d: str) -> str:
+    from .boundaries import BORDER_KEYS, LHT_COUNTRIES
+
+    msg_311 = (
+        "'This way is part of a roundabout but is not closed-loop. "
+        "(split carriageways approaching a roundabout should not be "
+        "tagged as roundabout)'"
+    )
+    msg_313 = (
+        "'This roundabout has only $1 other roads connected. "
+        "Roundabouts typically have three.'"
+    )
+    lht = ", ".join(f"'{c}'" for c in LHT_COUNTRIES)
+    bkeys = ", ".join(f"'{k}'" for k in BORDER_KEYS)
+    m312 = (
+        "'If this ' || CASE WHEN mini THEN 'mini_roundabout' ELSE 'roundabout' END"
+        " || ' is in a country with ' || CASE WHEN right_hand THEN 'right' "
+        "ELSE 'left' END || '-hand traffic then its orientation goes the "
+        "wrong way around'"
+    )
+    body = f"""
+rp AS (SELECT * FROM roundabout_parts),
+open_parts AS (
+    SELECT b.tile, b.part, f.way_id AS fw
+    FROM (SELECT tile, part, MIN(sequence_id) AS mn, MAX(sequence_id) AS mx
+          FROM rp GROUP BY tile, part) b
+    JOIN rp f ON f.tile=b.tile AND f.part=b.part AND f.sequence_id=b.mn
+    JOIN rp l ON l.tile=b.tile AND l.part=b.part AND l.sequence_id=b.mx
+    WHERE f.first_node_id <> l.last_node_id
+),
+centers AS (
+    SELECT p.tile, p.part, SUM(wn.y)/COUNT(wn.node_id) AS cy,
+           SUM(wn.x)/COUNT(wn.node_id) AS cx
+    FROM rp p JOIN way_nodes wn ON wn.tile=p.tile AND wn.way_id=p.way_id
+    GROUP BY p.tile, p.part
+),
+wn12 AS (
+    SELECT tile, way_id,
+           MIN(CASE WHEN rn=1 THEN x END) AS x1,
+           MIN(CASE WHEN rn=1 THEN y END) AS y1,
+           MIN(CASE WHEN rn=2 THEN x END) AS x2,
+           MIN(CASE WHEN rn=2 THEN y END) AS y2
+    FROM (SELECT tile, way_id, x, y,
+                 ROW_NUMBER() OVER (PARTITION BY tile, way_id
+                                    ORDER BY sequence_id) AS rn
+          FROM way_nodes)
+    WHERE rn <= 2 GROUP BY tile, way_id
+),
+rot AS (
+    SELECT s.tile, s.part, s.way_id, c.cx, c.cy,
+           ((w.x1-c.cx)*(w.y2-c.cy) - (w.y1-c.cy)*(w.x2-c.cx) < 0)
+             AS clockwise,
+           FALSE AS mini
+    FROM (SELECT tile, part, way_id FROM rp WHERE sequence_id=0) s
+    JOIN wn12 w ON w.tile=s.tile AND w.way_id=s.way_id
+    JOIN centers c ON c.tile=s.tile AND c.part=s.part
+),
+minis AS (
+    SELECT DISTINCT n.tile, -n.id AS part, n.id AS way_id,
+           n.x AS cx, n.y AS cy,
+           EXISTS (SELECT 1 FROM node_tags nt WHERE nt.tile=n.tile
+                   AND nt.node_id=n.id AND nt.k='direction'
+                   AND nt.v='clockwise') AS clockwise,
+           TRUE AS mini
+    FROM nodes n
+    WHERE EXISTS (SELECT 1 FROM node_tags nt WHERE nt.tile=n.tile
+                  AND nt.node_id=n.id AND nt.k='highway'
+                  AND nt.v='mini_roundabout')
+      AND EXISTS (SELECT 1 FROM node_tags nt WHERE nt.tile=n.tile
+                  AND nt.node_id=n.id AND nt.k='direction'
+                  AND nt.v IN ('clockwise','counterclockwise','anticlockwise'))
+),
+allr AS (SELECT * FROM rot UNION ALL SELECT * FROM minis),
+border_rel AS (
+    SELECT DISTINCT rt.tile, rt.relation_id,
+        (SELECT MAX(v) FROM relation_tags x WHERE x.tile=rt.tile
+         AND x.relation_id=rt.relation_id AND x.k='name') AS name,
+        (SELECT MAX(v) FROM relation_tags x WHERE x.tile=rt.tile
+         AND x.relation_id=rt.relation_id AND x.k='admin_level') AS admin_level
+    FROM relation_tags rt
+    WHERE rt.k='type' AND rt.v IN ('boundary','multipolygon')
+      AND EXISTS (SELECT 1 FROM relation_tags x WHERE x.tile=rt.tile
+                  AND x.relation_id=rt.relation_id
+                  AND x.k='boundary' AND x.v='administrative')
+),
+lht_ways AS (
+    SELECT DISTINCT br.tile, br.name, rm.member_id AS way_id
+    FROM border_rel br JOIN relation_members rm
+      ON rm.tile=br.tile AND rm.relation_id=br.relation_id
+     AND rm.member_type='W'
+    WHERE br.admin_level IN ('1','2') AND br.name IN ({lht})
+    UNION
+    SELECT DISTINCT wt.tile, wt.v AS name, wt.way_id
+    FROM way_tags wt
+    WHERE wt.k IN ({bkeys}) AND wt.v IN ({lht})
+      AND EXISTS (SELECT 1 FROM way_tags x WHERE x.tile=wt.tile
+                  AND x.way_id=wt.way_id AND x.k='boundary'
+                  AND x.v='administrative')
+      AND COALESCE((SELECT MAX(v) FROM way_tags x WHERE x.tile=wt.tile
+                    AND x.way_id=wt.way_id AND x.k='admin_level'), '')
+          IN ('1','2')
+),
+lht_edges AS (
+    SELECT s.tile, lw.name, s.ax, s.ay, s.bx, s.by
+    FROM (SELECT tile, way_id, x AS ax, y AS ay,
+                 LEAD(x) OVER (PARTITION BY tile, way_id
+                               ORDER BY sequence_id) AS bx,
+                 LEAD(y) OVER (PARTITION BY tile, way_id
+                               ORDER BY sequence_id) AS by
+          FROM way_nodes) s
+    JOIN lht_ways lw ON lw.tile=s.tile AND lw.way_id=s.way_id
+    WHERE s.bx IS NOT NULL
+),
+lht_parts AS (
+    SELECT DISTINCT tile, part FROM (
+        SELECT a.tile, a.part, e.name,
+               SUM(CASE WHEN ((e.ay > a.cy) <> (e.by > a.cy))
+                         AND a.cx < e.ax + (e.bx-e.ax)*(a.cy-e.ay)/(e.by-e.ay)
+                   THEN 1 ELSE 0 END) AS nc
+        FROM allr a JOIN lht_edges e ON e.tile=a.tile
+        GROUP BY a.tile, a.part, e.name
+    ) WHERE nc % 2 = 1
+),
+judged AS (
+    SELECT a.*, NOT EXISTS (SELECT 1 FROM lht_parts l WHERE l.tile=a.tile
+                            AND l.part=a.part) AS right_hand
+    FROM allr a
+),
+conn AS (
+    SELECT pn.tile, pn.part, COUNT(wn.way_id) AS cnt
+    FROM (SELECT DISTINCT p.tile, p.part, wn.node_id
+          FROM rp p JOIN way_nodes wn ON wn.tile=p.tile
+           AND wn.way_id=p.way_id) pn
+    JOIN way_nodes wn ON wn.tile=pn.tile AND wn.node_id=pn.node_id
+    WHERE NOT EXISTS (SELECT 1 FROM rp x WHERE x.tile=wn.tile
+                      AND x.part=pn.part AND x.way_id=wn.way_id)
+    GROUP BY pn.tile, pn.part
+    HAVING COUNT(wn.way_id) < 3
+),
+err AS (
+    SELECT DISTINCT {err_select(311, 'way', 'fw', msg_311)} FROM open_parts
+    UNION ALL
+    SELECT {err_select(312,
+        "CASE WHEN mini THEN 'node' ELSE 'way' END", 'way_id', m312)}
+    FROM judged WHERE right_hand = clockwise
+    UNION ALL
+    SELECT {err_select(313, 'way', 'mw', msg_313,
+        txt1='CAST(cnt AS VARCHAR)')}
+    FROM (SELECT c.tile, c.cnt, MIN(p.way_id) AS mw
+          FROM conn c JOIN rp p ON p.tile=c.tile AND p.part=c.part
+          GROUP BY c.tile, c.part, c.cnt)
+)"""
+    return wrap(d, body)
+
+
+def oracle_0280(d: str) -> str:
+    msg_281 = "'This boundary has no name'"
+    msg_282a = "'The boundary of $1 has no admin_level'"
+    msg_282b = (
+        "'The boundary of $1 has no valid numeric admin_level. Please do "
+        "not use admin levels like for example 6;7. Always tag the lowest "
+        "admin_level of all boundaries.'"
+    )
+    msg_283 = "'The boundary of $1 is not closed-loop'"
+    msg_284 = "'The boundary of $1 splits here'"
+    msg_285 = (
+        "'This boundary-way has admin_level $1 but belongs to a relation "
+        "with lower admin_level (higher priority); it should have the "
+        "lowest admin_level of all relations'"
+    )
+    ot = "CASE WHEN relation_id IS NULL THEN 'way' ELSE 'relation' END"
+    oid = "COALESCE(relation_id, way_id)"
+    body = f"""
+bw AS (SELECT * FROM border_parts),
+openp AS (
+    SELECT b1.tile, b1.relation_id, b1.way_id, b1.name,
+        CASE WHEN COALESCE(b1.direction,1)=1 THEN b1.first_node_id
+             ELSE b1.last_node_id END AS node1,
+        CASE WHEN COALESCE(b2.direction,1)=1 THEN b2.last_node_id
+             ELSE b2.first_node_id END AS node2
+    FROM (SELECT tile, name, admin_level, part,
+                 MIN(sequence_id) AS mn, MAX(sequence_id) AS mx
+          FROM bw GROUP BY tile, name, admin_level, part) g
+    JOIN bw b1 ON b1.tile=g.tile AND b1.name IS NOT DISTINCT FROM g.name
+      AND b1.admin_level IS NOT DISTINCT FROM g.admin_level
+      AND b1.part=g.part AND b1.sequence_id=g.mn
+    JOIN bw b2 ON b2.tile=g.tile AND b2.name IS NOT DISTINCT FROM g.name
+      AND b2.admin_level IS NOT DISTINCT FROM g.admin_level
+      AND b2.part=g.part AND b2.sequence_id=g.mx
+    WHERE (CASE WHEN COALESCE(b1.direction,1)=1 THEN b1.first_node_id
+                ELSE b1.last_node_id END)
+       <> (CASE WHEN COALESCE(b2.direction,1)=1 THEN b2.last_node_id
+                ELSE b2.first_node_id END)
+),
+openp_kept AS (
+    SELECT * FROM openp o
+    WHERE o.relation_id IS NOT NULL
+       OR NOT EXISTS (SELECT 1 FROM bw t WHERE t.tile=o.tile
+                      AND t.way_id=o.way_id AND t.relation_id IS NOT NULL)
+),
+e283 AS (
+    SELECT o.tile, {ot} AS ot2, {oid} AS oid2, n.lat AS nlat, n.lon AS nlon,
+           MIN(o.name) AS mname
+    FROM openp_kept o JOIN nodes n ON n.tile=o.tile
+     AND (n.id=o.node1 OR n.id=o.node2)
+    GROUP BY o.tile, ot2, oid2, n.lat, n.lon
+),
+nodelist AS (
+    SELECT tile, name, admin_level, part, first_node_id AS node_id FROM bw
+    WHERE name IS NOT NULL AND admin_level IS NOT NULL
+    UNION ALL
+    SELECT tile, name, admin_level, part, last_node_id FROM bw
+    WHERE name IS NOT NULL AND admin_level IS NOT NULL
+),
+evil AS (
+    SELECT tile, name, admin_level, node_id FROM nodelist
+    GROUP BY tile, name, admin_level, part, node_id
+    HAVING COUNT(*) > 2
+),
+e284 AS (
+    SELECT b.tile, {ot} AS ot2, {oid} AS oid2, n.lat AS nlat, n.lon AS nlon,
+           MIN(ev.name) AS mname
+    FROM evil ev
+    JOIN bw b ON b.tile=ev.tile AND b.name=ev.name
+     AND b.admin_level=ev.admin_level
+    JOIN nodes n ON n.tile=ev.tile AND n.id=ev.node_id
+    GROUP BY b.tile, ot2, oid2, n.lat, n.lon
+),
+e285 AS (
+    SELECT b.tile, b.way_id, MAX(b.admin_level) AS mal
+    FROM bw b
+    WHERE b.relation_id IS NULL AND TRIM(b.admin_level) SIMILAR TO '[0-9]+'
+      AND CAST(b.admin_level AS INT) = (
+          SELECT MAX(CAST(t1.admin_level AS INT)) FROM bw t1
+          WHERE t1.tile=b.tile AND t1.way_id=b.way_id
+            AND t1.relation_id IS NULL
+            AND TRIM(t1.admin_level) SIMILAR TO '[0-9]+')
+      AND CAST(b.admin_level AS INT) > (
+          SELECT MIN(CAST(t2.admin_level AS INT)) FROM bw t2
+          WHERE t2.tile=b.tile AND t2.way_id=b.way_id
+            AND t2.relation_id IS NOT NULL
+            AND TRIM(t2.admin_level) SIMILAR TO '[0-9]+')
+    GROUP BY b.tile, b.way_id
+),
+err AS (
+    SELECT DISTINCT {err_select(281, ot, oid, msg_281)}
+    FROM bw WHERE name IS NULL
+    UNION ALL
+    SELECT DISTINCT {err_select(282, ot, oid, msg_282a,
+        txt1=_html("COALESCE(name, '(no name)')"))}
+    FROM bw WHERE admin_level IS NULL
+    UNION ALL
+    SELECT DISTINCT {err_select(282, ot, oid, msg_282b,
+        txt1=_html("COALESCE(name, '(no name)')"))}
+    FROM bw WHERE admin_level IS NOT NULL
+      AND NOT (TRIM(admin_level) SIMILAR TO '[0-9]+')
+    UNION ALL
+    SELECT {err_select(283, 'ot2', 'oid2', msg_283,
+        txt1=_html('mname'), lat_d='1e7*nlat', lon_d='1e7*nlon')}
+    FROM e283
+    UNION ALL
+    SELECT {err_select(284, 'ot2', 'oid2', msg_284,
+        txt1=_html('mname'), lat_d='1e7*nlat', lon_d='1e7*nlon')}
+    FROM e284
+    UNION ALL
+    SELECT {err_select(285, 'way', 'way_id', msg_285, txt1=_html('mal'))}
+    FROM e285
 )"""
     return wrap(d, body)

@@ -119,8 +119,15 @@ def tiled_views(
 ) -> OsmViews:
     """Views over the materialized engine tables (prepared on demand)."""
     out = prepare(spark, dataset_dir, tiles, margin_m)
+    seeds = None
+    try:
+        with open(os.path.join(dataset_dir, "MANIFEST.json")) as f:
+            seeds = json.load(f).get("island_seeds")
+    except (OSError, ValueError):
+        pass
     return OsmViews(
-        **{name: spark.read.parquet(f"{out}/{name}.parquet") for name in VIEW_NAMES}
+        **{name: spark.read.parquet(f"{out}/{name}.parquet") for name in VIEW_NAMES},
+        island_seeds=seeds,
     )
 
 
