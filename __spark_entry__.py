@@ -20,7 +20,7 @@ from keepright_spark.datagen import ensure_dataset, scale_for_sf_dir
 # checks with both a Spark implementation and a DuckDB oracle
 CHECKS_WITH_ORACLE = [
     20, 30, 40, 50, 60, 70, 90, 100, 110, 120, 130, 150, 160, 170, 180, 190,
-    210, 230, 270, 280, 290, 300, 310, 320, 350, 360, 370, 380, 390, 400, 420,
+    210, 220, 230, 270, 280, 290, 300, 310, 320, 350, 360, 370, 380, 390, 400, 420,
 ]
 # checks implemented in Spark only (rows-only verification)
 CHECKS_ROWS_ONLY: list[int] = []

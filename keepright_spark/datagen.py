@@ -31,7 +31,7 @@ from .codec import DOCS_ARROW_SCHEMA, encode_object, fmt_coord
 from .mercator import merc_x, merc_y
 from .tiling import DEFAULT_MARGIN_M, DEFAULT_TILES, Tile
 
-GEN_VERSION = 14  # bump to force dataset regeneration
+GEN_VERSION = 15  # bump to force dataset regeneration
 
 # region covering the scale's tile grid + margins; build_world() sets
 # these per scale so object DENSITY stays constant as the world grows
@@ -939,6 +939,37 @@ def inj_0280_boundaries(b: World, rng: np.random.RandomState, n: int) -> None:
                   ("name", nm), ("admin_level", "6")])
 
 
+
+def inj_0220_misspelled(b: World, rng: np.random.RandomState, n: int) -> None:
+    for _ in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        variant = rng.randint(5)
+        if variant == 0:
+            # key typo vs the frequent 'highway' key -> 220
+            a = b.nd(lat7, lon7)
+            c = b.nd(*_step7(lat7, lon7, 1.0, 120))
+            b.wy([a, c], [("higway", "residential")])
+        elif variant == 1:
+            # node key typo vs frequent 'amenity' -> 220
+            b.nd(lat7, lon7, [("amenty", "restaurant"), ("name", "Typo Inn")])
+        elif variant == 2:
+            # literal 'key' key -> 221
+            a = b.nd(lat7, lon7)
+            c = b.nd(*_step7(lat7, lon7, 2.0, 120))
+            b.wy([a, c], [("highway", "service"), ("key", "value")])
+        elif variant == 3:
+            # relation with a literal 'key' tag -> 221
+            a = b.nd(lat7, lon7)
+            c = b.nd(*_step7(lat7, lon7, 2.0, 120))
+            w = b.wy([a, c], [("highway", "service")])
+            b.rl([("W", w, "outer")], [("type", "site"), ("key", "x")])
+        else:
+            # clean control
+            a = b.nd(lat7, lon7)
+            c = b.nd(*_step7(lat7, lon7, 1.5, 120))
+            b.wy([a, c], [("highway", "residential"), ("name", "Clean St")])
+
+
 INJECTORS = [
     (inj_0020_duplicate_nodes, 4),
     (inj_0060_deprecated, 4),
@@ -961,6 +992,7 @@ INJECTORS = [
     (inj_0030_areas, 3),
     (inj_0310_roundabouts, 4),
     (inj_0280_boundaries, 3),
+    (inj_0220_misspelled, 4),
 ]
 
 

@@ -2272,3 +2272,162 @@ err AS (
     FROM e285
 )"""
     return wrap(d, body)
+
+
+def oracle_0220(d: str) -> str:
+    from .data_tables import (
+        FALSE_POSITIVES_0220,
+        FORCE_IRREGULAR_0220,
+        FORCE_REGULAR_0220,
+        NEVER_COMPLAIN_LIKE_0220,
+        OVERRULES_0220,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    fp_pairs = sorted(
+        {
+            (a, b)
+            for grp in FALSE_POSITIVES_0220
+            for a in grp
+            for b in grp
+            if a != b
+        }
+    )
+    fp_vals = ",\n        ".join(f"({q(a)}, {q(b)})" for a, b in fp_pairs)
+    fi_vals = ",\n        ".join(f"({q(s)})" for s in FORCE_IRREGULAR_0220)
+    fr_vals = ",\n        ".join(f"({q(s)})" for s in FORCE_REGULAR_0220)
+    ov_vals = ",\n        ".join(
+        f"({q(a)}, {q(b)}, {q(c)}, {q(e)})" for a, b, c, e in OVERRULES_0220
+    )
+    never = " OR ".join(
+        f"prefix LIKE {q(p)}" for p in NEVER_COMPLAIN_LIKE_0220
+    )
+    msg220 = "'This $1 is tagged ''$2=$3'' where $4 looks like $5'"
+    never_k = never.replace("prefix LIKE", "k.prefix LIKE")
+
+    per_type = []
+    for ot in ("node", "way", "relation"):
+        tbl = f"{ot}_tags"
+        idc = f"{ot}_id"
+        msg221 = f"'The key of this {ot}''s tag is ''key'': $2'"
+        per_type.append(f"""
+tagsn_{ot} AS (
+    SELECT tile,
+           string_split(kn, ':') || ['='] || string_split(vn, ':') || ['']
+             AS keylist,
+           k_orig, v_orig, COUNT(*) AS tag_count
+    FROM (
+        SELECT tile, k AS k_orig, v AS v_orig,
+            regexp_replace(k, '_*[0-9]+([ \\.+/\\(\\)-]+[0-9]+)*', '', 'g') AS kn,
+            replace(regexp_replace(v, '[0-9]+([ \\.+/\\(\\)-]+[0-9]+)*', '#', 'g'),
+                    '; ', ';') AS vn
+        FROM {tbl}
+    )
+    WHERE LENGTH(kn) > 3
+    GROUP BY tile, keylist, k_orig, v_orig
+),
+keys_{ot} AS (
+    SELECT tile, keylen,
+           COALESCE(array_to_string(list_slice(keylist, 1, keylen-1), ':'), '') AS prefix,
+           keylist[keylen] AS part, SUM(tag_count) AS cnt
+    FROM tagsn_{ot} CROSS JOIN (VALUES (1),(2),(3),(4),(5)) kl(keylen)
+    WHERE len(keylist) >= keylen
+      AND LENGTH(keylist[keylen]) BETWEEN 4 AND 50
+    GROUP BY tile, keylen, prefix, part
+),
+tot_{ot} AS (
+    SELECT tile, keylen, GREATEST(SUM(cnt)/100000.0, 50.0) AS climit,
+           SQRT(COUNT(*)) AS dlimit
+    FROM keys_{ot} GROUP BY tile, keylen
+),
+div_{ot} AS (
+    SELECT k.tile, k.keylen, k.prefix
+    FROM keys_{ot} k JOIN tot_{ot} t ON t.tile=k.tile AND t.keylen=k.keylen
+    GROUP BY k.tile, k.keylen, k.prefix
+    HAVING COUNT(k.part) > MAX(t.dlimit)
+),
+cand_{ot} AS (
+    SELECT k.*, t.climit,
+        CASE WHEN EXISTS (SELECT 1 FROM fi WHERE fi.fk = k.prefix || ':' || k.part)
+             THEN FALSE
+             WHEN EXISTS (SELECT 1 FROM fr WHERE fr.fk = k.prefix || ':' || k.part)
+             THEN TRUE
+             ELSE k.cnt >= t.climit END AS is_reg
+    FROM keys_{ot} k JOIN tot_{ot} t ON t.tile=k.tile AND t.keylen=k.keylen
+    WHERE (k.prefix = '' OR k.prefix IS NULL)
+       OR (NOT EXISTS (SELECT 1 FROM div_{ot} dv WHERE dv.tile=k.tile
+                       AND dv.keylen=k.keylen AND dv.prefix=k.prefix)
+           AND NOT ({never_k}))
+),
+off_{ot} AS (
+    SELECT * FROM (
+        SELECT i.tile, i.keylen, i.prefix, i.part, o.right_key AS reg_part
+        FROM cand_{ot} i JOIN ov o
+          ON i.prefix=o.bad_prefix AND i.part=o.bad_key
+        WHERE NOT i.is_reg
+        UNION ALL
+        SELECT i.tile, i.keylen, i.prefix, i.part, MAX(r.part) AS reg_part
+        FROM cand_{ot} i JOIN cand_{ot} r
+          ON r.tile=i.tile AND r.keylen=i.keylen AND r.prefix=i.prefix
+         AND r.is_reg AND levenshtein(i.part, r.part) <= 1
+        WHERE NOT i.is_reg
+          AND NOT EXISTS (SELECT 1 FROM ov o WHERE i.prefix=o.bad_prefix
+                          AND i.part=o.bad_key)
+        GROUP BY i.tile, i.keylen, i.prefix, i.part
+    ) x
+    WHERE NOT EXISTS (SELECT 1 FROM fp WHERE fp.reg=x.reg_part
+                      AND fp.irr=x.part)
+),
+bad_{ot} AS (
+    SELECT DISTINCT g.tile, g.k_orig, g.v_orig,
+           '"' || o.part || '"' AS wrong_tag,
+           '"' || o.reg_part || '"' AS right_tag
+    FROM (
+        SELECT t.tile, kl.keylen, t.k_orig, t.v_orig,
+               COALESCE(array_to_string(list_slice(t.keylist, 1, kl.keylen-1), ':'), '') AS prefix,
+               t.keylist[kl.keylen] AS part
+        FROM tagsn_{ot} t CROSS JOIN (VALUES (1),(2),(3),(4),(5)) kl(keylen)
+        WHERE len(t.keylist) >= kl.keylen
+    ) g
+    JOIN off_{ot} o ON o.tile=g.tile AND o.keylen=g.keylen
+     AND o.prefix=g.prefix AND o.part=g.part
+),
+err_{ot} AS (
+    SELECT DISTINCT {err_select(220, ot, f't.{idc}', msg220,
+        txt1=f"'{ot}'", txt2=_html('t.k'), txt3=_html('t.v'),
+        txt4=_html('bt.wrong_tag'), txt5=_html('bt.right_tag'),
+        tile='t.tile')}
+    FROM {tbl} t JOIN bad_{ot} bt
+      ON bt.tile=t.tile AND bt.k_orig=t.k AND bt.v_orig=t.v
+    UNION ALL
+    SELECT {err_select(221, ot, idc, msg221,
+        txt1=f"'{ot}'",
+        txt2=QUOTED_TAG_LIST_SQL_0220)}
+    FROM {tbl} WHERE k='key'
+    GROUP BY tile, {idc}
+)""")
+
+    body = f"""
+fp (reg, irr) AS (SELECT * FROM (VALUES
+        {fp_vals}) t(reg, irr)),
+fi (fk) AS (SELECT * FROM (VALUES
+        {fi_vals}) t(fk)),
+fr (fk) AS (SELECT * FROM (VALUES
+        {fr_vals}) t(fk)),
+ov (bad_prefix, bad_key, right_prefix, right_key) AS (SELECT * FROM (VALUES
+        {ov_vals}) t(a, b, c, d)),
+{",".join(per_type)},
+err AS (
+    SELECT * FROM err_node
+    UNION ALL SELECT * FROM err_way
+    UNION ALL SELECT * FROM err_relation
+)"""
+    return wrap(d, body)
+
+
+QUOTED_TAG_LIST_SQL_0220 = (
+    "string_agg('\"' || COALESCE(k,'') || '=' || COALESCE(v,'') || '\"', "
+    "', ' ORDER BY k, v)"
+)
