@@ -92,56 +92,82 @@ def run(v: OsmViews) -> DataFrame:
         .persist()
     )
 
-    key = ["tile", "rule_id", "sw"]
-    targets = subjects.select(*key, F.col("last_node_id").alias("node_id"))
+    # per-(tile, rule) reachability inside a vectorized applyInPandas
+    # operator: the rule-class junction graphs are tile-local and
+    # small, so one shuffle replaces diameter-many driver BFS rounds.
+    # Semantics identical to is_closed_loop (0030:366-415): last node
+    # reachable from first node over junction nodes without using the
+    # subject way itself.
+    import pandas as pd
+    from pyspark.sql.types import LongType, IntegerType, StringType, StructField, StructType
 
-    # frontier: nodes reached last round, per subject
-    frontier = subjects.select(*key, F.col("first_node_id").alias("node_id"))
-    visited_nodes = frontier
-    visited_ways = None  # (key, way_id)
-    found = None  # subject keys whose last node was reached
+    graph = cwn_j.select("tile", "rule_id", "way_id", "node_id")
+    subj_in = subjects.select(
+        "tile", "rule_id", "sw", "first_node_id", "last_node_id"
+    ).withColumnRenamed("sw", "way_id").withColumn(
+        "node_id", F.lit(None).cast("long")
+    )
+    combined = graph.withColumn("first_node_id", F.lit(None).cast("long")) \
+        .withColumn("last_node_id", F.lit(None).cast("long")) \
+        .unionByName(subj_in.select("tile", "rule_id", "way_id", "node_id",
+                                    "first_node_id", "last_node_id"))
 
-    for _ in range(MAX_ROUNDS):
-        # ways (≠ subject) touching the frontier nodes
-        new_ways = (
-            frontier.join(cwn_j, ["tile", "rule_id", "node_id"])
-            .filter(F.col("way_id") != F.col("sw"))
-            .select(*key, "way_id")
-            .distinct()
-        )
-        if visited_ways is not None:
-            new_ways = new_ways.join(visited_ways, [*key, "way_id"], "left_anti")
-        new_ways = new_ways.localCheckpoint(eager=True)
-        if new_ways.isEmpty():
-            break
-        visited_ways = (
-            new_ways
-            if visited_ways is None
-            else visited_ways.unionByName(new_ways).localCheckpoint(eager=True)
-        )
-        # junction nodes of the newly found ways
-        new_nodes = (
-            new_ways.join(cwn_j, ["tile", "rule_id", "way_id"])
-            .select(*key, "node_id")
-            .distinct()
-            .join(visited_nodes, [*key, "node_id"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        visited_nodes = visited_nodes.unionByName(new_nodes).localCheckpoint(
-            eager=True
-        )
-        hit = new_nodes.join(targets, [*key, "node_id"], "left_semi").select(*key)
-        found = hit if found is None else found.unionByName(hit)
-        # subjects already satisfied stop expanding
-        frontier = new_nodes
-        if found is not None:
-            frontier = frontier.join(found.distinct(), key, "left_anti")
-        if frontier.isEmpty():
-            break
+    out_schema = StructType([
+        StructField("tile", StringType()),
+        StructField("rule_id", IntegerType()),
+        StructField("sw", LongType()),
+    ])
 
-    open_subjects = subjects
-    if found is not None:
-        open_subjects = subjects.join(found.distinct(), key, "left_anti")
+    def open_in_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        gmask = pdf["node_id"].notna()
+        g = pdf[gmask]
+        subj = pdf[~gmask]
+        node_ways: dict = {}
+        way_nodes: dict = {}
+        for w, nd in zip(g["way_id"].to_numpy(), g["node_id"].to_numpy()):
+            w, nd = int(w), int(nd)
+            node_ways.setdefault(nd, set()).add(w)
+            way_nodes.setdefault(w, set()).add(nd)
+        bad = []
+        for w, fn, ln in zip(subj["way_id"].to_numpy(),
+                             subj["first_node_id"].to_numpy(),
+                             subj["last_node_id"].to_numpy()):
+            w, fn, ln = int(w), int(fn), int(ln)
+            seen_nodes = {fn}
+            seen_ways = set()
+            frontier = [fn]
+            found = False
+            while frontier and not found:
+                nxt = []
+                for nd in frontier:
+                    for ow in node_ways.get(nd, ()):  # ways at node
+                        if ow == w or ow in seen_ways:
+                            continue
+                        seen_ways.add(ow)
+                        for nd2 in way_nodes[ow]:
+                            if nd2 not in seen_nodes:
+                                seen_nodes.add(nd2)
+                                nxt.append(nd2)
+                                if nd2 == ln:
+                                    found = True
+                frontier = nxt
+            if not found:
+                bad.append(w)
+        if not bad:
+            return pd.DataFrame({"tile": [], "rule_id": [], "sw": []}).astype(
+                {"tile": str, "rule_id": "int32", "sw": "int64"})
+        return pd.DataFrame({
+            "tile": pdf["tile"].iloc[0],
+            "rule_id": pdf["rule_id"].iloc[0],
+            "sw": bad,
+        })
+
+    open_keys = combined.groupBy("tile", "rule_id").applyInPandas(
+        open_in_group, out_schema
+    )
+    open_subjects = subjects.join(
+        open_keys, ["tile", "rule_id", "sw"], "left_semi"
+    )
 
     e = open_subjects.select(
         "tile",

@@ -102,41 +102,59 @@ def run(v: OsmViews) -> DataFrame:
         .join(connector, ["tile", "way_id"], "left_anti")
     )
 
-    # BFS from the seeds
-    seeds = v.island_seeds or []
-    spark = v.ways.sparkSession
-    seeds_df = F.broadcast(
-        spark.createDataFrame([(int(s),) for s in seeds] or [(-1,)], "way_id long")
+    # seeded reachability: tile-local union-find inside a vectorized
+    # applyInPandas operator — a single shuffle keyed by tile instead
+    # of diameter-many driver BFS rounds (which scale with component
+    # length, not data volume)
+    seeds = set(int(s) for s in (v.island_seeds or []))
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("tile", StringType()), StructField("way_id", LongType())]
     )
-    frontier = (
-        wnj.select("tile", "way_id")
-        .distinct()
-        .join(seeds_df, "way_id", "left_semi")
-        .localCheckpoint(eager=True)
-    )
-    reached = frontier
-    for _ in range(MAX_ROUNDS):
-        nodes = (
-            frontier.join(wnj, ["tile", "way_id"])
-            .select("tile", "node_id")
-            .distinct()
+
+    def unreached_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        ways_arr = pdf["way_id"].to_numpy()
+        nodes_arr = pdf["node_id"].to_numpy()
+        for w, nd in zip(ways_arr, nodes_arr):
+            wk = ("w", int(w))
+            nk = ("n", int(nd))
+            if wk not in parent:
+                parent[wk] = wk
+            if nk not in parent:
+                parent[nk] = nk
+            union(wk, nk)
+        seed_roots = {
+            find(("w", s)) for s in seeds if ("w", s) in parent
+        }
+        uniq = sorted({int(w) for w in ways_arr})
+        bad = [w for w in uniq if find(("w", w)) not in seed_roots]
+        return pd.DataFrame(
+            {"tile": pdf["tile"].iloc[0], "way_id": bad}
+        ) if bad else pd.DataFrame({"tile": [], "way_id": []}).astype(
+            {"tile": str, "way_id": "int64"}
         )
-        new_ways = (
-            nodes.join(wnj, ["tile", "node_id"])
-            .select("tile", "way_id")
-            .distinct()
-            .join(reached, ["tile", "way_id"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if new_ways.isEmpty():
-            break
-        reached = reached.unionByName(new_ways).localCheckpoint(eager=True)
-        frontier = new_ways
 
     unreached = (
-        wnj.select("tile", "way_id")
-        .distinct()
-        .join(reached, ["tile", "way_id"], "left_anti")
+        wnj.groupBy("tile")
+        .applyInPandas(unreached_tile, out_schema)
         .join(connector, ["tile", "way_id"], "left_anti")
     )
     e = (

@@ -52,32 +52,6 @@ V_NUM_RE = r"[0-9]+([ \.+/\(\)-]+[0-9]+)*"
 MSG_220 = "This $1 is tagged '$2=$3' where $4 looks like $5"
 
 
-def _tags_norm(v: OsmViews, otype: str) -> DataFrame:
-    t = tags_of(v, otype)
-    knorm = F.regexp_replace(F.col("k"), K_NUM_RE, "")
-    vnorm = F.replace(
-        F.regexp_replace(F.col("v"), V_NUM_RE, "#"), F.lit("; "), F.lit(";")
-    )
-    t = t.select(
-        "tile",
-        F.col("k").alias("k_orig"),
-        F.col("v").alias("v_orig"),
-        knorm.alias("kn"),
-        vnorm.alias("vn"),
-    ).filter(F.length("kn") > 3)
-    keylist = F.concat(
-        F.split(F.col("kn"), ":"),
-        F.array(F.lit("=")),
-        F.split(F.col("vn"), ":"),
-        F.array(F.lit("")),
-    )
-    return (
-        t.withColumn("keylist", keylist)
-        .groupBy("tile", "keylist", "k_orig", "v_orig")
-        .agg(F.count(F.lit(1)).alias("tag_count"))
-    )
-
-
 def _false_pairs():
     pairs = set()
     for grp in FALSE_POSITIVES_0220:
@@ -93,165 +67,6 @@ def _never_complain_cond():
     for pat in NEVER_COMPLAIN_LIKE_0220:
         cond = cond | F.col("prefix").like(pat)
     return cond
-
-
-def _check_220(v: OsmViews, otype: str) -> DataFrame:
-    spark = v.ways.sparkSession
-    tags = _tags_norm(v, otype).persist()
-    fp_df = F.broadcast(
-        spark.createDataFrame(_false_pairs(), "reg string, irr string")
-    )
-    force_irr = F.broadcast(
-        spark.createDataFrame([(s,) for s in FORCE_IRREGULAR_0220], "fk string")
-    )
-    force_reg = F.broadcast(
-        spark.createDataFrame([(s,) for s in FORCE_REGULAR_0220], "fk string")
-    )
-    over_df = F.broadcast(
-        spark.createDataFrame(
-            list(OVERRULES_0220),
-            "bad_prefix string, bad_key string, right_prefix string, right_key string",
-        )
-    )
-
-    bad_tags = None
-    for keylen in range(1, 6):
-        keys = (
-            tags.filter(
-                (F.size("keylist") >= keylen)
-                & F.length(F.element_at("keylist", keylen)).between(4, 50)
-            )
-            .select(
-                "tile",
-                F.array_join(F.slice("keylist", 1, keylen - 1), ":").alias("prefix"),
-                F.element_at("keylist", keylen).alias("part"),
-                "tag_count",
-            )
-            .groupBy("tile", "prefix", "part")
-            .agg(F.sum("tag_count").alias("cnt"))
-        )
-        totals = keys.groupBy("tile").agg(
-            F.greatest(F.sum("cnt") / 100000.0, F.lit(50.0)).alias("climit"),
-            F.sqrt(F.count(F.lit(1))).alias("dlimit"),
-        )
-        diverse = (
-            keys.groupBy("tile", "prefix")
-            .agg(F.count("part").alias("np"))
-            .join(totals, "tile")
-            .filter(F.col("np") > F.col("dlimit"))
-            .select("tile", "prefix")
-        )
-        cand = keys.join(totals, "tile").withColumn(
-            "_keep_any", F.col("prefix").isNull() | (F.col("prefix") == "")
-        )
-        cand = (
-            cand.join(
-                diverse.withColumn("_div", F.lit(True)), ["tile", "prefix"], "left"
-            )
-            .filter(
-                F.col("_keep_any")
-                | (F.col("_div").isNull() & ~_never_complain_cond())
-            )
-            .drop("_div", "np")
-        )
-        fkey = F.concat(F.col("prefix"), F.lit(":"), F.col("part"))
-        cand = (
-            cand.join(
-                force_irr.withColumnRenamed("fk", "_fi"),
-                fkey == F.col("_fi"),
-                "left",
-            )
-            .join(
-                force_reg.withColumnRenamed("fk", "_fr"),
-                fkey == F.col("_fr"),
-                "left",
-            )
-            .withColumn(
-                "is_reg",
-                F.when(F.col("_fi").isNotNull(), F.lit(False))
-                .when(F.col("_fr").isNotNull(), F.lit(True))
-                .otherwise(F.col("cnt") >= F.col("climit")),
-            )
-        )
-        irregular = cand.filter(~F.col("is_reg")).select("tile", "prefix", "part")
-        regular = cand.filter(F.col("is_reg")).select(
-            "tile", "prefix", F.col("part").alias("rpart")
-        )
-
-        overruled = irregular.join(
-            over_df,
-            (F.col("prefix") == F.col("bad_prefix"))
-            & (F.col("part") == F.col("bad_key")),
-        ).select(
-            "tile", "prefix", "part", F.col("right_key").alias("reg_part")
-        )
-        lev = (
-            irregular.join(
-                over_df,
-                (F.col("prefix") == F.col("bad_prefix"))
-                & (F.col("part") == F.col("bad_key")),
-                "left_anti",
-            )
-            .join(regular, ["tile", "prefix"])
-            .filter(F.levenshtein("part", "rpart") <= 1)
-            .groupBy("tile", "prefix", "part")
-            # deterministic winner for the reference's last-scan-order
-            # pick: lexicographically greatest regular part
-            .agg(F.max("rpart").alias("reg_part"))
-        )
-        offending = overruled.unionByName(lev).join(
-            fp_df,
-            (F.col("reg_part") == F.col("reg")) & (F.col("part") == F.col("irr")),
-            "left_anti",
-        )
-
-        matched = (
-            tags.filter(F.size("keylist") >= keylen)
-            .select(
-                "tile",
-                F.array_join(F.slice("keylist", 1, keylen - 1), ":").alias("prefix"),
-                F.element_at("keylist", keylen).alias("part"),
-                "k_orig",
-                "v_orig",
-            )
-            .join(offending, ["tile", "prefix", "part"])
-            .select(
-                "tile", "k_orig", "v_orig",
-                F.concat(F.lit('"'), F.col("part"), F.lit('"')).alias("wrong_tag"),
-                F.concat(F.lit('"'), F.col("reg_part"), F.lit('"')).alias(
-                    "right_tag"
-                ),
-            )
-            .distinct()
-        )
-        bad_tags = matched if bad_tags is None else bad_tags.unionByName(matched)
-
-    orig = tags_of(v, otype)
-    e = (
-        orig.join(
-            bad_tags.withColumnRenamed("k_orig", "k").withColumnRenamed(
-                "v_orig", "v"
-            ),
-            ["tile", "k", "v"],
-        )
-        .select(
-            "tile",
-            F.col("id").alias("object_id"),
-            F.lit(otype).alias("t1"),
-            html_escape(F.col("k")).alias("t2"),
-            html_escape(F.col("v")).alias("t3"),
-            html_escape(F.col("wrong_tag")).alias("t4"),
-            html_escape(F.col("right_tag")).alias("t5"),
-        )
-        .distinct()
-    )
-    out = finish_errors(
-        e, 220, otype, MSG_220,
-        txt1=F.col("t1"), txt2=F.col("t2"), txt3=F.col("t3"),
-        txt4=F.col("t4"), txt5=F.col("t5"),
-    ).drop("t1", "t2", "t3", "t4", "t5")
-    tags.unpersist()
-    return out
 
 
 def _check_221(v: OsmViews, otype: str) -> DataFrame:
@@ -271,11 +86,174 @@ def _check_221(v: OsmViews, otype: str) -> DataFrame:
     ).drop("t1", "t2")
 
 
-def run(v: OsmViews) -> DataFrame:
+def _all_tags(v: OsmViews) -> DataFrame:
     out = None
     for otype in ("node", "way", "relation"):
-        p = _check_220(v, otype).unionByName(_check_221(v, otype))
-        out = p if out is None else out.unionByName(p)
+        t = tags_of(v, otype).withColumn("otype", F.lit(otype))
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+def _check_220_all(v: OsmViews) -> DataFrame:
+    """All three object types and all five part positions in ONE
+    dataflow: otype and keylen are data columns, so the whole check is
+    a single aggregation/join pipeline instead of 15 driver rounds."""
+    spark = v.ways.sparkSession
+    tags0 = _all_tags(v)
+    knorm = F.regexp_replace(F.col("k"), K_NUM_RE, "")
+    vnorm = F.replace(
+        F.regexp_replace(F.col("v"), V_NUM_RE, "#"), F.lit("; "), F.lit(";")
+    )
+    keylist = F.concat(
+        F.split(F.col("kn"), ":"),
+        F.array(F.lit("=")),
+        F.split(F.col("vn"), ":"),
+        F.array(F.lit("")),
+    )
+    tags = (
+        tags0.select(
+            "tile", "otype",
+            F.col("k").alias("k_orig"), F.col("v").alias("v_orig"),
+            knorm.alias("kn"), vnorm.alias("vn"),
+        )
+        .filter(F.length("kn") > 3)
+        .withColumn("keylist", keylist)
+        .groupBy("tile", "otype", "keylist", "k_orig", "v_orig")
+        .agg(F.count(F.lit(1)).alias("tag_count"))
+        .persist()
+    )
+
+    fp_df = F.broadcast(
+        spark.createDataFrame(_false_pairs(), "reg string, irr string")
+    )
+    force_irr = F.broadcast(
+        spark.createDataFrame([(s,) for s in FORCE_IRREGULAR_0220], "fk string")
+    )
+    force_reg = F.broadcast(
+        spark.createDataFrame([(s,) for s in FORCE_REGULAR_0220], "fk string")
+    )
+    over_df = F.broadcast(
+        spark.createDataFrame(
+            list(OVERRULES_0220),
+            "bad_prefix string, bad_key string, right_prefix string, right_key string",
+        )
+    )
+
+    kexp = tags.withColumn("keylen", F.explode(F.sequence(F.lit(1), F.lit(5))))
+    parts = kexp.filter(F.size("keylist") >= F.col("keylen")).select(
+        "tile", "otype", "keylen",
+        F.array_join(
+            F.slice("keylist", F.lit(1), F.col("keylen") - 1), ":"
+        ).alias("prefix"),
+        F.element_at("keylist", F.col("keylen")).alias("part"),
+        "k_orig", "v_orig", "tag_count",
+    )
+    gkey = ["tile", "otype", "keylen"]
+    keys = (
+        parts.filter(F.length("part").between(4, 50))
+        .groupBy(*gkey, "prefix", "part")
+        .agg(F.sum("tag_count").alias("cnt"))
+    )
+    totals = keys.groupBy(gkey).agg(
+        F.greatest(F.sum("cnt") / 100000.0, F.lit(50.0)).alias("climit"),
+        F.sqrt(F.count(F.lit(1))).alias("dlimit"),
+    )
+    diverse = (
+        keys.groupBy(*gkey, "prefix")
+        .agg(F.count("part").alias("np"))
+        .join(totals, gkey)
+        .filter(F.col("np") > F.col("dlimit"))
+        .select(*gkey, "prefix")
+    )
+    cand = (
+        keys.join(totals, gkey)
+        .join(diverse.withColumn("_div", F.lit(True)), [*gkey, "prefix"], "left")
+        .filter(
+            (F.col("prefix") == "")
+            | (F.col("_div").isNull() & ~_never_complain_cond())
+        )
+        .drop("_div")
+    )
+    fkey = F.concat(F.col("prefix"), F.lit(":"), F.col("part"))
+    cand = (
+        cand.join(force_irr.withColumnRenamed("fk", "_fi"), fkey == F.col("_fi"), "left")
+        .join(force_reg.withColumnRenamed("fk", "_fr"), fkey == F.col("_fr"), "left")
+        .withColumn(
+            "is_reg",
+            F.when(F.col("_fi").isNotNull(), F.lit(False))
+            .when(F.col("_fr").isNotNull(), F.lit(True))
+            .otherwise(F.col("cnt") >= F.col("climit")),
+        )
+        .persist()
+    )
+    irregular = cand.filter(~F.col("is_reg")).select(*gkey, "prefix", "part")
+    regular = cand.filter(F.col("is_reg")).select(
+        *gkey, "prefix", F.col("part").alias("rpart")
+    )
+    overruled = irregular.join(
+        over_df,
+        (F.col("prefix") == F.col("bad_prefix"))
+        & (F.col("part") == F.col("bad_key")),
+    ).select(*gkey, "prefix", "part", F.col("right_key").alias("reg_part"))
+    lev = (
+        irregular.join(
+            over_df,
+            (F.col("prefix") == F.col("bad_prefix"))
+            & (F.col("part") == F.col("bad_key")),
+            "left_anti",
+        )
+        .join(regular, [*gkey, "prefix"])
+        .filter(F.levenshtein("part", "rpart") <= 1)
+        .groupBy(*gkey, "prefix", "part")
+        # deterministic winner for the reference's last-scan-order
+        # pick: lexicographically greatest regular part
+        .agg(F.max("rpart").alias("reg_part"))
+    )
+    offending = overruled.unionByName(lev).join(
+        fp_df,
+        (F.col("reg_part") == F.col("reg")) & (F.col("part") == F.col("irr")),
+        "left_anti",
+    )
+    bad_tags = (
+        parts.join(offending, [*gkey, "prefix", "part"])
+        .select(
+            "tile", "otype", "k_orig", "v_orig",
+            F.concat(F.lit('"'), F.col("part"), F.lit('"')).alias("wrong_tag"),
+            F.concat(F.lit('"'), F.col("reg_part"), F.lit('"')).alias("right_tag"),
+        )
+        .distinct()
+    )
+    e = (
+        _all_tags(v)
+        .join(
+            bad_tags.withColumnRenamed("k_orig", "k").withColumnRenamed(
+                "v_orig", "v"
+            ),
+            ["tile", "otype", "k", "v"],
+        )
+        .select(
+            "tile",
+            F.col("otype").alias("object_type"),
+            F.col("id").alias("object_id"),
+            F.col("otype").alias("t1"),
+            html_escape(F.col("k")).alias("t2"),
+            html_escape(F.col("v")).alias("t3"),
+            html_escape(F.col("wrong_tag")).alias("t4"),
+            html_escape(F.col("right_tag")).alias("t5"),
+        )
+        .distinct()
+    )
+    return finish_errors(
+        e, 220, None, MSG_220,
+        txt1=F.col("t1"), txt2=F.col("t2"), txt3=F.col("t3"),
+        txt4=F.col("t4"), txt5=F.col("t5"),
+    ).drop("t1", "t2", "t3", "t4", "t5")
+
+
+def run(v: OsmViews) -> DataFrame:
+    out = _check_220_all(v)
+    for otype in ("node", "way", "relation"):
+        out = out.unionByName(_check_221(v, otype))
     return out
 
 

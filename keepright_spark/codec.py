@@ -153,6 +153,13 @@ class OsmViews:
     # the reference's $islands list, 0130_islands.php:26-335); None →
     # no seeds configured
     island_seeds: list | None = None
+    # optional materialized helper tables (prepare_helpertables twins,
+    # written once by pipeline.prepare so the per-check jobs skip the
+    # shared derivations): way_layers, one_ways, way_lengths, segments
+    h_layers: DataFrame | None = None
+    h_oneways: DataFrame | None = None
+    h_lengths: DataFrame | None = None
+    h_segments: DataFrame | None = None
 
 
 def _exploded(docs: DataFrame) -> DataFrame:

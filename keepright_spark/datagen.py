@@ -1008,6 +1008,10 @@ SCALES = {
     "s": (2200, 1800, 20, 6, 3),
     "m": (22000, 18000, 200, 16, 11),
     "l": (88000, 72000, 800, 26, 27),
+    # dense scaling-probe world: ~8x urban density on 20 tiles makes
+    # the pairwise spatial joins compute-bound (the north rule's
+    # high-density skew scenario)
+    "d": (20000, 4000, 50, 5, 4),
 }
 SF_TO_SCALE = {"sf0.001": "t", "sf0.01": "s", "sf0.1": "m", "sf1": "l"}
 

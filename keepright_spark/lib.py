@@ -79,6 +79,8 @@ def way_layers(v: OsmViews) -> DataFrame:
     (tunnel wins if both, helpers.php:561-580 update order), then the
     ``level`` tag, then the ``layer`` tag override.  Layer stays a
     *string*: '0' ≠ '00' in the reference's equality joins."""
+    if v.h_layers is not None:
+        return v.h_layers
     t = v.way_tags
     per_way = t.groupBy("tile", "way_id").agg(
         F.max(F.when(F.col("k") == "layer", F.col("v"))).alias("layer_tag"),
@@ -123,6 +125,8 @@ def way_lengths(v: OsmViews) -> DataFrame:
     Mercator meters: sum of consecutive-node segment lengths over the
     x/y columns (prepare_helpertables.php:138-149 builds the geometry
     from the same x/y)."""
+    if v.h_lengths is not None:
+        return v.h_lengths
     from pyspark.sql import Window
 
     w = Window.partitionBy("tile", "way_id").orderBy("sequence_id")
@@ -166,6 +170,8 @@ def find_oneways(v: OsmViews) -> DataFrame:
     """_tmp_one_ways twin (helpers.php:592-700): (tile, way_id,
     reversed, first_node_id, last_node_id, first/last lat/lon) with
     first/last swapped for reversed oneways."""
+    if v.h_oneways is not None:
+        return v.h_oneways
     t = v.way_tags
     base = ids_with_tag(
         t.select("tile", F.col("way_id").alias("id"), "k", "v"),

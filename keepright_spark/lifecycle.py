@@ -1,0 +1,317 @@
+"""Persistent error lifecycle, published view, metrics and resume.
+
+Re-expression of run-checks.php's state machinery over a parquet
+(Iceberg-on-cluster) errors table:
+
+* ``sync_errors``  — the _tmp_errors ⇄ public.errors state sync
+  (run-checks.php:221-277): still-present errors update payload and
+  flip cleared→reopened (else →new); vanished errors owned by the
+  executed checks' decades are cleared; fresh errors insert as 'new'
+  ('preliminary' for 410-419).  The NULL-safe join of the reference
+  (`IS NOT DISTINCT FROM`, :250) is Spark's ``eqNullSafe``.
+* ``published_view`` — error_view enrichment (run-checks.php:279-478,
+  `:440-466`): drop cleared/preliminary, attach error_name (static
+  catalog), user_name, object_timestamp.
+* ``run_persistent`` — the per-tile-batch driver with checkpointed
+  resume (north rule): tiles are processed in groups; each completed
+  group commits staged error rows + a lineage row (tile group, checks,
+  row count, duration, input counts) to the state directory, and a
+  re-run skips committed groups.  Run "timestamps" are deterministic
+  run sequence numbers — the reference's NOW() would break replay.
+* ``node_density`` — the 0.1°-cell census (run-checks.php:488-514),
+  also the skew census feeding hot-cell salting.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import pipeline
+from .checks import available_checks
+from .data_tables import ERROR_NAMES
+from .errors import TXT_COLS
+
+KEY = ["tile", "error_type", "object_type", "object_id", "lat", "lon"]
+
+ERRORS_SCHEMA = (
+    "error_id long, tile string, error_type int, object_type string, "
+    "object_id long, lat long, lon long, state string, "
+    "first_occurrence long, last_checked long, msgid string, "
+    "txt1 string, txt2 string, txt3 string, txt4 string, txt5 string"
+)
+
+
+def _decade_scope(executed_checks: list[int], et=None):
+    """error_type scope of a partial run (run-checks.php:192-218):
+    a run owns the decades of the checks it executed."""
+    et = F.col("error_type") if et is None else et
+    cond = F.lit(False)
+    for cid in executed_checks:
+        cond = cond | et.between(cid, cid + 9)
+    return cond
+
+
+def sync_errors(
+    existing: DataFrame | None,
+    fresh: DataFrame,
+    executed_checks: list[int],
+    run_seq: int,
+) -> DataFrame:
+    """Next state of the persistent errors table.
+
+    ``fresh``: clipped error_view rows of this run (errors.ERROR_COLS).
+    ``existing``: previous errors table (ERRORS_SCHEMA) or None.
+    """
+    spark = fresh.sparkSession
+    if existing is None:
+        existing = spark.createDataFrame([], ERRORS_SCHEMA)
+    f = fresh.select(
+        *KEY, "msgid", *TXT_COLS
+    ).withColumnsRenamed({c: f"f_{c}" for c in ["msgid", *TXT_COLS]})
+
+    cond = None
+    for k in KEY:
+        c = existing[k].eqNullSafe(f[k])
+        cond = c if cond is None else cond & c
+    j = existing.join(f, cond, "full_outer")
+
+    # a fresh row exists iff any of its key cols is non-null on the f side
+    fresh_side = None
+    for k in KEY:
+        c = f[k].isNotNull()
+        fresh_side = c if fresh_side is None else fresh_side | c
+    old_side = existing["error_id"].isNotNull()
+
+    in_scope_old = _decade_scope(executed_checks, existing["error_type"])
+
+    both = j.filter(old_side & fresh_side).select(
+        existing["error_id"],
+        *[F.coalesce(existing[k], f[k]).alias(k) for k in KEY],
+        F.when(existing["state"] == "cleared", F.lit("reopened"))
+        .otherwise(F.lit("new"))
+        .alias("state"),
+        existing["first_occurrence"],
+        F.lit(run_seq).alias("last_checked"),
+        f["f_msgid"].alias("msgid"),
+        *[f[f"f_{c}"].alias(c) for c in TXT_COLS],
+    )
+    only_old = j.filter(old_side & ~fresh_side).select(
+        existing["error_id"], *[existing[k] for k in KEY],
+        F.when(
+            in_scope_old & (existing["state"] != "cleared"), F.lit("cleared")
+        )
+        .otherwise(existing["state"])
+        .alias("state"),
+        existing["first_occurrence"],
+        F.when(
+            in_scope_old & (existing["state"] != "cleared"), F.lit(run_seq)
+        )
+        .otherwise(existing["last_checked"])
+        .alias("last_checked"),
+        existing["msgid"],
+        *[existing[c] for c in TXT_COLS],
+    )
+    max_id = existing.agg(F.coalesce(F.max("error_id"), F.lit(0))).first()[0]
+    w = Window.orderBy(*KEY)
+    only_new = (
+        j.filter(~old_side & fresh_side)
+        .select(
+            *[f[k].alias(k) for k in KEY],
+            f["f_msgid"].alias("msgid"),
+            *[f[f"f_{c}"].alias(c) for c in TXT_COLS],
+        )
+        .filter(_decade_scope(executed_checks))
+        .withColumn("error_id", F.lit(max_id) + F.row_number().over(w))
+        .withColumn(
+            "state",
+            F.when(
+                F.col("error_type").between(410, 419), F.lit("preliminary")
+            ).otherwise(F.lit("new")),
+        )
+        .withColumn("first_occurrence", F.lit(run_seq))
+        .withColumn("last_checked", F.lit(run_seq))
+    )
+    cols = [fld.split(" ")[0] for fld in ERRORS_SCHEMA.split(", ")]
+    return (
+        both.select(cols)
+        .unionByName(only_old.select(cols))
+        .unionByName(only_new.select(cols))
+    )
+
+
+def published_view(errors: DataFrame, v) -> DataFrame:
+    """error_view rows (run-checks.php:292-319 + name/user/timestamp
+    resolution at :440-478): cleared/preliminary rows excluded."""
+    spark = errors.sparkSession
+    names = F.broadcast(
+        spark.createDataFrame(
+            [(k, n) for k, n in ERROR_NAMES.items()],
+            "error_type int, error_name string",
+        )
+    )
+    live = errors.filter(~F.col("state").isin("cleared", "preliminary"))
+    # decade fallback: subtype 191 → name of 190 if no exact entry
+    live = (
+        live.join(names, "error_type", "left")
+        .join(
+            names.select(
+                (F.col("error_type")).alias("_decade"),
+                F.col("error_name").alias("_decade_name"),
+            ),
+            (F.col("error_type") - F.col("error_type") % 10) == F.col("_decade"),
+            "left",
+        )
+        .withColumn(
+            "error_name",
+            F.coalesce(F.col("error_name"), F.col("_decade_name"), F.lit("")),
+        )
+        .drop("_decade", "_decade_name")
+    )
+
+    def meta(df, id_col, otype):
+        return df.select(
+            "tile",
+            F.col(id_col).alias("object_id"),
+            F.lit(otype).alias("object_type"),
+            F.col("user_id").alias("_uid"),
+            F.col("tstamp").alias("object_timestamp"),
+        )
+
+    om = (
+        meta(v.nodes, "id", "node")
+        .unionByName(meta(v.ways, "id", "way"))
+        .unionByName(meta(v.relations, "id", "relation"))
+    )
+    out = live.join(om, ["tile", "object_id", "object_type"], "left")
+    # synthetic users catalog (datagen writes user ids 1..97)
+    out = out.withColumn(
+        "user_name",
+        F.when(
+            F.col("_uid").isNotNull(), F.concat(F.lit("user_"), F.col("_uid"))
+        ),
+    ).drop("_uid")
+    return out
+
+
+def node_density(v) -> DataFrame:
+    """Nodes per 0.1° cell (run-checks.php:488-514) — the skew census
+    that feeds hot-cell salting decisions."""
+    return (
+        v.nodes.groupBy(
+            (F.round(F.col("lat") * 10) / 10).alias("lat_cell"),
+            (F.round(F.col("lon") * 10) / 10).alias("lon_cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def run_persistent(
+    spark: SparkSession,
+    dataset_dir: str,
+    state_dir: str,
+    check_ids: list[int] | None = None,
+    run_seq: int | None = None,
+    tile_group_size: int = 64,
+) -> DataFrame:
+    """Full resumable run: staged per-tile-group check execution with
+    lineage, then one state sync into the persistent errors table.
+
+    Returns the new persistent errors DataFrame (also written to
+    ``state_dir/errors.parquet``; previous runs' lineage under
+    ``state_dir/lineage/``)."""
+    os.makedirs(state_dir, exist_ok=True)
+    manifest_path = os.path.join(state_dir, "run_manifest.json")
+    manifest = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    if run_seq is None:
+        run_seq = int(manifest.get("last_run_seq", 0)) + 1
+
+    registry = available_checks()
+    if check_ids is None:
+        check_ids = sorted(registry)
+    tiles = pipeline.dataset_tiles(dataset_dir) or []
+    v = pipeline.tiled_views(spark, dataset_dir)
+
+    groups = [
+        tiles[i : i + tile_group_size]
+        for i in range(0, len(tiles), tile_group_size)
+    ]
+    run_key = f"run_{run_seq}"
+    done = set(manifest.get(run_key, {}).get("groups_done", []))
+    lineage_dir = os.path.join(state_dir, "lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+
+    for gi, group in enumerate(groups):
+        if gi in done:
+            continue
+        t0 = time.time()
+        names = [t.name for t in group]
+        vg = type(v)(
+            **{
+                n: getattr(v, n).filter(F.col("tile").isin(names))
+                for n in pipeline.VIEW_NAMES
+            },
+            island_seeds=v.island_seeds,
+            **{
+                h: getattr(v, h).filter(F.col("tile").isin(names))
+                for h in pipeline.HELPER_NAMES
+                if getattr(v, h) is not None
+            },
+        )
+        stage = os.path.join(state_dir, "stage", run_key, f"group_{gi}")
+        timings: dict = {}
+        ev = pipeline.run_checks(
+            vg, check_ids, group, stage_dir=stage, timings=timings
+        )
+        out_path = os.path.join(state_dir, "stage", run_key, f"ev_{gi}.parquet")
+        ev.write.mode("overwrite").parquet(out_path)
+        n_rows = spark.read.parquet(out_path).count()
+        with open(os.path.join(lineage_dir, f"{run_key}_group_{gi}.json"), "w") as f:
+            json.dump(
+                {
+                    "run_seq": run_seq,
+                    "group": gi,
+                    "tiles": names,
+                    "checks": check_ids,
+                    "error_rows": n_rows,
+                    "seconds": round(time.time() - t0, 3),
+                    "per_check_seconds": timings,
+                },
+                f,
+            )
+        done.add(gi)
+        manifest.setdefault(run_key, {})["groups_done"] = sorted(done)
+        manifest["last_run_seq"] = run_seq
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+
+    fresh = spark.read.parquet(
+        *[
+            os.path.join(state_dir, "stage", run_key, f"ev_{gi}.parquet")
+            for gi in range(len(groups))
+        ]
+    )
+    errors_path = os.path.join(state_dir, "errors.parquet")
+    existing = None
+    if os.path.exists(errors_path):
+        existing = spark.read.parquet(errors_path)
+    new_errors = sync_errors(existing, fresh, check_ids, run_seq)
+    tmp_path = errors_path + f".v{run_seq}"
+    new_errors.write.mode("overwrite").parquet(tmp_path)
+    final = spark.read.parquet(tmp_path)
+    final.write.mode("overwrite").parquet(errors_path)
+    # node-density census alongside (skew metrics)
+    node_density(v).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "node_density.parquet")
+    )
+    manifest[run_key]["committed"] = True
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+    return spark.read.parquet(errors_path)

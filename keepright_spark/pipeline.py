@@ -23,6 +23,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import checks as check_registry
 from .codec import OsmViews, decode
@@ -82,8 +83,12 @@ def prepare(
     if not force and os.path.exists(stamp):
         try:
             with open(stamp) as f:
-                if json.load(f).get("gen_version") == GEN_VERSION:
-                    return out
+                st = json.load(f)
+            if (
+                st.get("gen_version") == GEN_VERSION
+                and st.get("engine_version") == ENGINE_VERSION
+            ):
+                return out
         except (json.JSONDecodeError, OSError):
             pass
     from pyspark.storagelevel import StorageLevel
@@ -106,9 +111,38 @@ def prepare(
         )
     for df in persisted:
         df.unpersist()
+    _write_helpers(spark, out, n_files)
     with open(stamp, "w") as f:
-        json.dump({"gen_version": GEN_VERSION}, f)
+        json.dump({"gen_version": GEN_VERSION, "engine_version": ENGINE_VERSION}, f)
     return out
+
+
+# helper tables materialized alongside the views — the twin of the
+# reference's prepare_helpertables.php: every check that needs layers /
+# oneways / lengths / segments reads the parquet instead of re-running
+# the shared aggregation (saves ~4 stages per consuming check job)
+HELPER_NAMES = ["h_layers", "h_oneways", "h_lengths", "h_segments"]
+ENGINE_VERSION = 2
+
+
+def _write_helpers(spark: SparkSession, out: str, n_files: int) -> None:
+    from .lib import find_oneways, way_layers, way_lengths
+    from .spatial import way_segments
+
+    base = OsmViews(
+        **{name: spark.read.parquet(f"{out}/{name}.parquet") for name in VIEW_NAMES}
+    )
+    all_ways = base.ways.select("tile", F.col("id").alias("way_id"))
+    helpers = {
+        "h_layers": way_layers(base),
+        "h_oneways": find_oneways(base),
+        "h_lengths": way_lengths(base),
+        "h_segments": way_segments(base, all_ways),
+    }
+    for name, df in helpers.items():
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
 
 
 def tiled_views(
@@ -125,9 +159,15 @@ def tiled_views(
             seeds = json.load(f).get("island_seeds")
     except (OSError, ValueError):
         pass
+    helpers = {}
+    for h in HELPER_NAMES:
+        hp = f"{out}/{h}.parquet"
+        if os.path.exists(hp):
+            helpers[h] = spark.read.parquet(hp)
     return OsmViews(
         **{name: spark.read.parquet(f"{out}/{name}.parquet") for name in VIEW_NAMES},
         island_seeds=seeds,
+        **helpers,
     )
 
 
@@ -137,6 +177,7 @@ def run_checks(
     tiles: list[Tile] | None = None,
     stage_dir: str | None = None,
     max_parallel: int = 8,
+    timings: dict | None = None,
 ) -> DataFrame:
     """Union the requested checks' _tmp_errors rows and build the
     clipped error_view (deterministic columns).
@@ -170,8 +211,13 @@ def run_checks(
     os.makedirs(stage_dir, exist_ok=True)
 
     def _stage(cid: int) -> str:
+        import time
+
+        t0 = time.time()
         out = os.path.join(stage_dir, f"check_{cid:04d}.parquet")
         registry[cid](v).write.mode("overwrite").parquet(out)
+        if timings is not None:
+            timings[cid] = round(time.time() - t0, 3)
         return out
 
     with ThreadPoolExecutor(max_workers=max_parallel) as ex:

@@ -66,6 +66,8 @@ def way_segments(v: OsmViews, way_ids: DataFrame) -> DataFrame:
     ((tile, way_id) frame), from consecutive way_nodes — the
     LINESTRING geometry of prepare_helpertables.php:138-149 in
     segment-relational form."""
+    if v.h_segments is not None:
+        return v.h_segments.join(way_ids, ["tile", "way_id"], "left_semi")
     w = Window.partitionBy("tile", "way_id").orderBy("sequence_id")
     seg = (
         v.way_nodes.join(way_ids, ["tile", "way_id"], "left_semi")
