@@ -166,6 +166,13 @@ def run(v: OsmViews) -> DataFrame:
             )
         ),
     )
+    # explicit skew salting (north rule): dense urban cells would make
+    # the pair join quadratic in one bucket — re-cover their rows at a
+    # finer resolution so the same pairs meet in many small buckets.
+    # Result set is unchanged (pairs dedupe on payload below).
+    from ..spatial import refine_hot_cells
+
+    seg_cells = refine_hot_cells(seg_cells, CELL_M, extra_keys=["layer"])
     s1 = seg_cells.select(
         "tile", "cell", "layer",
         F.col("way_id").alias("w1"), F.col("way_type").alias("t1"),

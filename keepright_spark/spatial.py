@@ -183,3 +183,50 @@ def seg_cross_sql(ax, ay, bx, by, cx, cy, dx, dy) -> str:
         f"OR (({d3}) = 0 AND {on_seg(ax, ay, bx, by, cx, cy)}) "
         f"OR (({d4}) = 0 AND {on_seg(ax, ay, bx, by, dx, dy)}))"
     )
+
+
+def refine_hot_cells(
+    seg_cells: DataFrame,
+    cell_m: float,
+    hot_limit: int = 512,
+    refine_factor: int = 4,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Explicit skew handling for pairwise cell self-joins (the north
+    rule's dense-urban-tile scenario).
+
+    ``seg_cells``: segment rows already covered at ``cell_m`` with a
+    ``cell`` column plus endpoint columns ax/ay/bx/by.  Cells whose
+    occupancy exceeds ``hot_limit`` make the per-cell pair join
+    quadratic in local density; their rows are re-covered at
+    ``cell_m / refine_factor`` so the same pairs meet in ~refine²×
+    more, smaller buckets (the salt factor is data-driven, from the
+    same census the lifecycle module persists).  Cold rows keep their
+    coarse cell; the output ``cell`` ids of the two resolutions cannot
+    collide (fine ids are offset into a disjoint id space).
+
+    Pair-completeness: any two segments within the join radius share a
+    coarse cell; if that cell is hot BOTH rows are refined (the whole
+    cell's rows are), so they still meet in a fine cell.  Downstream
+    dedup (distinct on pair payload) is unchanged.
+    """
+    keys = ["tile", *(extra_keys or [])]
+    counts = seg_cells.groupBy(*keys, "cell").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    hot = counts.filter(F.col("_n") > hot_limit).select(*keys, "cell")
+    hot_flagged = seg_cells.join(hot, [*keys, "cell"], "left_semi")
+    cold = seg_cells.join(hot, [*keys, "cell"], "left_anti")
+
+    fine_m = cell_m / refine_factor
+    fine = hot_flagged.drop("cell").withColumn(
+        "cell",
+        F.explode(
+            bbox_cells(
+                F.least("ax", "bx"), F.least("ay", "by"),
+                F.greatest("ax", "bx"), F.greatest("ay", "by"),
+                fine_m, 0.0,
+            )
+        ),
+    ).withColumn("cell", F.col("cell") + F.lit(1 << 62))
+    return cold.unionByName(fine.select(cold.columns))
