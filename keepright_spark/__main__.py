@@ -1,0 +1,62 @@
+"""spark-submit entry point.
+
+Twin of the reference's CLI surface (checks/run-checks.php:14-40 and
+checks/main.php): run the full pipeline — or a subset of checks — over
+a dataset, with persistent error state, lineage and resume.
+
+    spark-submit --py-files keepright_spark.zip -m keepright_spark \\
+        --dataset /path/to/dataset --state /path/to/state \\
+        [--checks 20,50,190] [--cores 32] [--export /path/to/export]
+
+Partial runs keep the reference's scoped-clear semantics: only the
+executed checks' error decades participate in the cleared-state sweep
+(lifecycle.sync_errors).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from . import export as export_mod
+from . import lifecycle, pipeline
+from pyspark.sql import functions as F
+
+from .session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="keepright_spark")
+    ap.add_argument("--dataset", required=True, help="dataset directory (docs.parquet + MANIFEST.json)")
+    ap.add_argument("--state", required=True, help="state directory (errors table, lineage, checkpoints)")
+    ap.add_argument("--checks", help="comma-separated check ids (default: all)")
+    ap.add_argument("--cores", type=int, default=None, help="local[*] cores")
+    ap.add_argument("--export", help="write the published error_view TSV dump here")
+    args = ap.parse_args()
+
+    check_ids = (
+        [int(c) for c in args.checks.split(",")] if args.checks else None
+    )
+    spark = get_spark("keepright_spark", cores=args.cores)
+    errors = lifecycle.run_persistent(
+        spark, args.dataset, args.state, check_ids=check_ids
+    )
+    summary = {
+        "errors_total": errors.count(),
+        "by_state": {
+            r["state"]: r["n"]
+            for r in errors.groupBy("state").agg(
+                F.count("error_id").alias("n")
+            ).collect()
+        },
+    }
+    if args.export:
+        v = pipeline.tiled_views(spark, args.dataset)
+        pub = lifecycle.published_view(errors, v)
+        summary["export"] = export_mod.export_error_view(pub, args.export)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
