@@ -342,8 +342,12 @@ def run(v: OsmViews) -> DataFrame:
         cross_pairs, ["tile", "w1", "w2", "t1", "t2"], "left_semi"
     ).select("tile", "w1", "w2", "t1", "t2", "px", "py").distinct()
 
-    # shared nodes of the pair (_tmp_xings, 0190:204-226)
-    wn = v.way_nodes.select("tile", "way_id", "node_id", "x", "y")
+    # shared nodes of the pair (_tmp_xings, 0190:204-226) — the
+    # common-node table is only ever probed for classified-way pairs,
+    # so both self-join sides prune to classified ways first
+    wn = v.way_nodes.select("tile", "way_id", "node_id", "x", "y").join(
+        ways.select("tile", "way_id"), ["tile", "way_id"], "left_semi"
+    )
     xings = (
         wn.select("tile", F.col("way_id").alias("w1"), "node_id",
                   F.col("x").alias("jx"), F.col("y").alias("jy"))
