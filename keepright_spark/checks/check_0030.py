@@ -13,11 +13,10 @@ must reach the last node without traversing the way itself
 txt1=k, txt2=v.
 
 The reference runs one BFS per way per rule.  Spark-first shape: the
-rule is a data column (broadcast rules join), and ALL subjects' BFS
-frontiers advance together as one iterative frontier join keyed by
-(tile, rule, subject_way) — rounds = max component diameter, each
-round a pair of hash joins; frontiers are localCheckpoint'ed to cut
-lineage (SURVEY §8 hard part 3).
+rule is a data column (broadcast rules join), and the per-subject
+reachability runs inside a vectorized applyInPandas operator keyed by
+(tile, rule) — tile-local graphs are small, so one shuffle replaces
+diameter-many driver rounds (SURVEY §8 hard part 3).
 """
 
 from __future__ import annotations
@@ -30,7 +29,6 @@ from ..data_tables import AREA_RULES
 from ..errors import finish_errors
 
 MSGID = "This way is tagged with '$1=$2' and should be closed-loop"
-MAX_ROUNDS = 40
 
 
 def run(v: OsmViews) -> DataFrame:

@@ -19,9 +19,9 @@ member ways (0130:403-413).
 Seed ways come from the dataset manifest (datagen.island_seeds — the
 twin of the reference's hand-picked per-region list, 0130:26-335).
 
-Spark: iterative frontier join with localCheckpoint per round; the
-frontier is (tile, way_id) so every tile's island search proceeds in
-the same rounds.
+Spark: tile-local union-find inside a vectorized applyInPandas
+operator — one shuffle keyed by tile; rounds do not scale with
+component diameter.
 """
 
 from __future__ import annotations
@@ -33,7 +33,6 @@ from ..codec import OsmViews
 from ..errors import finish_errors
 
 MSGID = "This way is not connected to the rest of the map"
-MAX_ROUNDS = 200
 HW_EXCLUDED = [
     "emergency_access_point", "construction", "services", "preproposed",
     "proposed", "rest_area",
