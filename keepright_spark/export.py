@@ -3,9 +3,9 @@
 * ``export_error_view`` — the TSV dump sink (checks/export_errors.php:
   27-96): error_view rows ordered by error_id, chunked at 100k rows
   per file, plus the per-(error_type, state) ``error_statistics``
-  rollup.  On a cluster the chunking maps to parquet/CSV task splits;
-  here files are written per chunk for byte-level parity of the
-  layout.
+  rollup.  Fully distributed: each chunk file is written by the task
+  owning its chunk id; the global row rank comes from a bucket census
+  + prefix-sum, never a global sort or driver iteration.
 * ``viewport_query`` — errors near a point (web/points.php:29-84):
   type filter with the decade/subtype rule, ±1.5° window (±0.15e8 in
   fixed-point), distance sort with the cos²(lat) longitude correction,
@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -108,37 +108,83 @@ def export_error_view(
 ) -> dict:
     """TSV export, 100k rows per chunk file, ordered by error_id
     (export_errors.php:30-77), plus the error_statistics rollup
-    (:80-96).  Returns {'files': n, 'rows': n}."""
+    (:80-96).  Returns {'files': n, 'rows': n}.
+
+    Distributed sink: no global sort and no driver-side row loop.  The
+    global position of each row is derived from a deterministic bucket
+    of error_id — per-bucket counts, an exclusive prefix sum over the
+    tiny bucket census (≤ rows/chunk_size entries), then offset +
+    in-bucket row_number — and each chunk file is written wholly by the
+    one task that owns its chunk id, preserving the reference's
+    byte-level file layout.  ``out_dir`` must be a filesystem every
+    executor can reach (local disk here; a shared/distributed FS on a
+    cluster, exactly like the reference's dump directory).
+    """
     os.makedirs(out_dir, exist_ok=True)
     for old in os.listdir(out_dir):
         if old.startswith("error_view.") and old.endswith(".txt"):
             os.remove(os.path.join(out_dir, old))
     cols = error_view.columns
-    rows = error_view.orderBy("error_id").toLocalIterator()
-    counter = 0
-    f = None
-    try:
-        for r in rows:
-            if counter % max_lines_per_file == 0:
+    df = error_view.withColumn(
+        "_bucket",
+        F.floor((F.col("error_id") - 1) / max_lines_per_file).cast("long"),
+    )
+    census = sorted(
+        df.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect(),
+        key=lambda r: r["_bucket"],
+    )
+    total = sum(r["n"] for r in census)
+    offsets, acc = [], 0
+    for r in census:
+        offsets.append((r["_bucket"], acc))
+        acc += r["n"]
+    spark = error_view.sparkSession
+    if total:
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets, "_bucket long, _off long")
+        )
+        w = Window.partitionBy("_bucket").orderBy("error_id")
+        ranked = (
+            df.join(off_df, "_bucket")
+            .withColumn("_rank", F.col("_off") + F.row_number().over(w))
+            .withColumn(
+                "_chunk",
+                F.floor((F.col("_rank") - 1) / max_lines_per_file).cast("long"),
+            )
+        )
+        n_chunks = (total + max_lines_per_file - 1) // max_lines_per_file
+
+        def _write_partition(it):
+            f = None
+            cur = None
+            try:
+                for row in it:
+                    if row["_chunk"] != cur:
+                        if f:
+                            f.close()
+                        cur = row["_chunk"]
+                        f = open(
+                            os.path.join(out_dir, f"error_view.{cur}.txt"),
+                            "w",
+                        )
+                    f.write(
+                        "\t".join(
+                            "\\N" if row[c] is None else str(row[c])
+                            for c in cols
+                        )
+                        + "\n"
+                    )
+            finally:
                 if f:
                     f.close()
-                f = open(
-                    os.path.join(
-                        out_dir,
-                        f"error_view.{counter // max_lines_per_file}.txt",
-                    ),
-                    "w",
-                )
-            f.write(
-                "\t".join(
-                    "\\N" if r[c] is None else str(r[c]) for c in cols
-                )
-                + "\n"
-            )
-            counter += 1
-    finally:
-        if f:
-            f.close()
+
+        (
+            ranked.repartition(n_chunks, "_chunk")
+            .sortWithinPartitions("_chunk", "error_id")
+            .foreachPartition(_write_partition)
+        )
+    else:
+        n_chunks = 0
     stats = (
         error_view.groupBy("error_type", "state")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -147,7 +193,4 @@ def export_error_view(
     stats.toPandas().to_csv(
         os.path.join(out_dir, "error_statistics.txt"), sep="\t", index=False
     )
-    return {
-        "files": (counter + max_lines_per_file - 1) // max_lines_per_file,
-        "rows": counter,
-    }
+    return {"files": n_chunks, "rows": total}

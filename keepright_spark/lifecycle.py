@@ -117,8 +117,13 @@ def sync_errors(
         *[existing[c] for c in TXT_COLS],
     )
     max_id = existing.agg(F.coalesce(F.max("error_id"), F.lit(0))).first()[0]
-    w = Window.orderBy(*KEY)
-    only_new = (
+    # Distributed deterministic id assignment: ids follow the total
+    # order of KEY (which starts with tile), so a per-tile row_number
+    # plus an exclusive prefix-sum of per-tile counts reproduces the
+    # global sequence without funnelling every row through one task.
+    # The prefix-sum window runs over the tiny tile-count frame
+    # (~#tiles rows), not the error rows.
+    fresh_new = (
         j.filter(~old_side & fresh_side)
         .select(
             *[f[k].alias(k) for k in KEY],
@@ -126,7 +131,34 @@ def sync_errors(
             *[f[f"f_{c}"].alias(c) for c in TXT_COLS],
         )
         .filter(_decade_scope(executed_checks))
-        .withColumn("error_id", F.lit(max_id) + F.row_number().over(w))
+        .persist()
+    )
+    w_tile = Window.partitionBy("tile").orderBy(
+        *[F.col(k).asc_nulls_first() for k in KEY if k != "tile"]
+    )
+    tile_off = (
+        fresh_new.groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("tile").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("tile", "_off")
+    )
+    only_new = (
+        fresh_new.withColumn("_rn", F.row_number().over(w_tile))
+        .join(F.broadcast(tile_off), "tile")
+        .withColumn(
+            "error_id", (F.lit(max_id) + F.col("_off") + F.col("_rn")).cast("long")
+        )
+        .drop("_rn", "_off")
         .withColumn(
             "state",
             F.when(

@@ -51,3 +51,18 @@ def test_export_tsv(spark, tiny_dir, tmp_path):
     files = [f for f in os.listdir(out) if f.startswith("error_view.")]
     assert len(files) == res["files"] and res["files"] >= 1
     assert os.path.exists(os.path.join(out, "error_statistics.txt"))
+
+    # byte parity with the reference layout: error_id order, 10 rows
+    # per file, \N for NULL, chunk boundaries at exact multiples
+    cols = pub.columns
+    expected = [
+        "\t".join("\\N" if r[c] is None else str(r[c]) for c in cols)
+        for r in pub.orderBy("error_id").collect()
+    ]
+    got = []
+    for i in range(res["files"]):
+        with open(os.path.join(out, f"error_view.{i}.txt")) as f:
+            lines = f.read().splitlines()
+        assert len(lines) == (10 if i < res["files"] - 1 else len(expected) - 10 * i)
+        got.extend(lines)
+    assert got == expected

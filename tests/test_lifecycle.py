@@ -81,6 +81,26 @@ def test_persistent_run_resume(spark, tiny_dir, tmp_path):
     assert m["last_run_seq"] == 2 and m["run_2"]["committed"]
 
 
+def test_id_assignment_distributed_and_dense(spark):
+    # ids must be dense 1..N, follow the KEY total order, and the
+    # row_number window must be tile-partitioned (no global funnel)
+    rows = [("A%d" % (i % 7), 20, "node", i, i * 10, i * 10, "m")
+            for i in range(40)]
+    e = lifecycle.sync_errors(None, _fresh(spark, rows), [20], run_seq=1)
+    got = sorted(r["error_id"] for r in e.collect())
+    assert got == list(range(1, 41))
+    # deterministic: same input -> same ids
+    e2 = lifecycle.sync_errors(None, _fresh(spark, rows), [20], run_seq=1)
+    m1 = {(r["tile"], r["object_id"]): r["error_id"] for r in e.collect()}
+    m2 = {(r["tile"], r["object_id"]): r["error_id"] for r in e2.collect()}
+    assert m1 == m2
+    # plan gate: every row_number window spec is partitioned by tile
+    plan = e._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(tile#" in line, line
+
+
 def test_published_view(spark, tiny_dir):
     v = pipeline.tiled_views(spark, tiny_dir)
     ev = pipeline.run_dataset(spark, tiny_dir, [20])
