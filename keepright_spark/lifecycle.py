@@ -269,7 +269,10 @@ def run_persistent(
     if check_ids is None:
         check_ids = sorted(registry)
     tiles = pipeline.dataset_tiles(dataset_dir) or []
-    v = pipeline.tiled_views(spark, dataset_dir)
+    # no shared cache here: each tile group filters the views to its
+    # tiles, and over the raw tile-partitioned parquet that filter is
+    # partition pruning — the group's scan touches only its partitions
+    v = pipeline.tiled_views(spark, dataset_dir, share_partitioning=False)
 
     groups = [
         tiles[i : i + tile_group_size]

@@ -100,15 +100,17 @@ def prepare(
     for df in persisted:
         df.persist(StorageLevel.MEMORY_AND_DISK)
     v = assign_tiles(base, tiles, margin_m)
-    # write every view with the session's shuffle parallelism: scan
-    # splits drive downstream task counts, and a 2-file table would
-    # serialize every join/regex built on it (on a cluster this is the
-    # files-per-Iceberg-partition knob)
+    # Views are hive-partitioned by tile (Iceberg partition spec on a
+    # cluster): a per-tile-group run prunes to its partitions instead
+    # of scanning every file, and the layout matches the engine's
+    # universal (tile, …) shuffle keys.  repartition(n, "tile") first
+    # so each tile is written by exactly one task → one file per tile,
+    # not tasks×tiles small files.
     n_files = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     for name in VIEW_NAMES:
-        getattr(v, name).repartition(n_files).write.mode("overwrite").parquet(
-            f"{out}/{name}.parquet"
-        )
+        getattr(v, name).repartition(n_files, "tile").write.mode(
+            "overwrite"
+        ).partitionBy("tile").parquet(f"{out}/{name}.parquet")
     for df in persisted:
         df.unpersist()
     _write_helpers(spark, out, n_files)
@@ -122,7 +124,7 @@ def prepare(
 # oneways / lengths / segments reads the parquet instead of re-running
 # the shared aggregation (saves ~4 stages per consuming check job)
 HELPER_NAMES = ["h_layers", "h_oneways", "h_lengths", "h_segments"]
-ENGINE_VERSION = 2
+ENGINE_VERSION = 3
 
 
 def _write_helpers(spark: SparkSession, out: str, n_files: int) -> None:
@@ -140,9 +142,9 @@ def _write_helpers(spark: SparkSession, out: str, n_files: int) -> None:
         "h_segments": way_segments(base, all_ways),
     }
     for name, df in helpers.items():
-        df.repartition(n_files).write.mode("overwrite").parquet(
-            f"{out}/{name}.parquet"
-        )
+        df.repartition(n_files, "tile").write.mode("overwrite").partitionBy(
+            "tile"
+        ).parquet(f"{out}/{name}.parquet")
 
 
 def tiled_views(
@@ -150,8 +152,19 @@ def tiled_views(
     dataset_dir: str,
     tiles: list[Tile] | None = None,
     margin_m: float = DEFAULT_MARGIN_M,
+    share_partitioning: bool = True,
 ) -> OsmViews:
-    """Views over the materialized engine tables (prepared on demand)."""
+    """Views over the materialized engine tables (prepared on demand).
+
+    With ``share_partitioning`` every view is hash-partitioned by tile
+    once and cached; because every downstream join / aggregation /
+    window keys on a (tile, …) prefix, Catalyst reuses this single
+    partitioning across all checks (with
+    ``spark.sql.requireAllClusterKeysForCoPartition=false``, set by
+    session.get_spark) and the per-check shuffles disappear — the
+    cluster analog is Iceberg tables partitioned+bucketed by tile,
+    where the scan itself reports the distribution.
+    """
     out = prepare(spark, dataset_dir, tiles, margin_m)
     seeds = None
     try:
@@ -159,16 +172,36 @@ def tiled_views(
             seeds = json.load(f).get("island_seeds")
     except (OSError, ValueError):
         pass
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def _load(path: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        if share_partitioning:
+            from pyspark.storagelevel import StorageLevel
+
+            df = df.repartition(n_part, "tile").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        return df
+
     helpers = {}
     for h in HELPER_NAMES:
         hp = f"{out}/{h}.parquet"
         if os.path.exists(hp):
-            helpers[h] = spark.read.parquet(hp)
-    return OsmViews(
-        **{name: spark.read.parquet(f"{out}/{name}.parquet") for name in VIEW_NAMES},
+            helpers[h] = _load(hp)
+    v = OsmViews(
+        **{name: _load(f"{out}/{name}.parquet") for name in VIEW_NAMES},
         island_seeds=seeds,
         **helpers,
     )
+    if share_partitioning:
+        # materialize caches eagerly: the staged runner submits check
+        # jobs concurrently, and a cold cache would be computed N times
+        # in parallel (wasted work, though not incorrect)
+        for name in VIEW_NAMES + [h for h in HELPER_NAMES if getattr(v, h) is not None]:
+            getattr(v, name).count()
+    return v
 
 
 def run_checks(

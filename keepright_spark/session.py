@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # every engine join/agg/window keys on a (tile, …) prefix, and
+        # tiled_views caches each view hash-partitioned by tile; subset
+        # co-partition matching lets Catalyst reuse that one exchange
+        # for all of them instead of reshuffling per full join key
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # local mode = one JVM for driver AND all executor threads;
         # size the heap for 32 concurrent tasks (cluster deployments
         # size per-executor memory instead)

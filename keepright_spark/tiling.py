@@ -156,47 +156,50 @@ def assign_tiles(
     ways = views.ways.join(way_tile.withColumnRenamed("way_id", "id"), "id")
     way_tags = views.way_tags.join(way_tile, "way_id")
 
-    # relations: iterative member pruning to fixpoint
-    # (prepare_helpertables.php:26-104)
-    rel_ids = views.relations.select("id")
+    # relations: member-seeded tile assignment, iterated upward to
+    # fixpoint for nested relations (prepare_helpertables.php:26-104).
+    # Seeding from *direct* node/way members and growing parent-ward is
+    # the scale-safe shape: the candidate set is one member join, never
+    # relations × tiles (at planet scale that cross product is a
+    # 10^12-row intermediate).  The only semantic difference from the
+    # reference's iterative-deletion (greatest) fixpoint is a cycle of
+    # relations with no node/way member anywhere in the tile — such a
+    # cycle has no resolvable location and can emit nothing.
     local_n = node_tile.withColumn("member_type", F.lit("N"))
     local_w = way_tile.select(F.col("way_id").alias("id"), "tile").withColumn(
         "member_type", F.lit("W")
     )
-    # start: every relation is a candidate in every tile that has data
-    all_tiles = tdf.select("tile")
-    rel_tile = rel_ids.crossJoin(all_tiles)
     rm = views.relation_members
-
-    def _members_pass(local_r: DataFrame) -> DataFrame:
-        local_objs = local_n.unionByName(local_w).unionByName(
-            local_r.select("id", "tile", "member_type")
-        )
-        return rm.join(
-            local_objs.withColumnRenamed("id", "member_id"),
+    local_nw = local_n.unionByName(local_w)
+    rel_tile = (
+        rm.join(
+            local_nw.withColumnRenamed("id", "member_id"),
             ["member_id", "member_type"],
-        ).select(F.col("relation_id").alias("id"), "tile").distinct()
+        )
+        .select(F.col("relation_id").alias("id"), "tile")
+        .distinct()
+    )
 
     # relation-in-relation is rare: only iterate when it exists at all
-    has_nested = rm.filter(F.col("member_type") == "R").limit(1).count() > 0
-    if not has_nested:
-        rel_tile = rel_tile.join(
-            _members_pass(rel_tile.withColumn("member_type", F.lit("R"))),
-            ["id", "tile"],
-            "left_semi",
-        )
-    else:
+    rm_nested = rm.filter(F.col("member_type") == "R").select(
+        "relation_id", F.col("member_id")
+    )
+    has_nested = rm_nested.limit(1).count() > 0
+    if has_nested:
+        rel_tile = rel_tile.localCheckpoint(eager=True)
         for _ in range(max_relation_depth):
-            new_rel_tile = rel_tile.join(
-                _members_pass(rel_tile.withColumn("member_type", F.lit("R"))),
-                ["id", "tile"],
-                "left_semi",
-            ).localCheckpoint(eager=True)
-            # fixpoint when no relation lost its tile
-            if new_rel_tile.count() == rel_tile.count():
-                rel_tile = new_rel_tile
+            grown = (
+                rm_nested.join(
+                    rel_tile.withColumnRenamed("id", "member_id"), "member_id"
+                )
+                .select(F.col("relation_id").alias("id"), "tile")
+                .distinct()
+                .join(rel_tile, ["id", "tile"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if grown.count() == 0:
                 break
-            rel_tile = new_rel_tile
+            rel_tile = rel_tile.unionByName(grown).localCheckpoint(eager=True)
 
     relations = views.relations.join(rel_tile, "id")
     local_objs = local_n.unionByName(local_w).unionByName(

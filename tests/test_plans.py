@@ -16,11 +16,48 @@ def _plan(df) -> str:
 
 
 def test_tag_filter_pushdown(spark, tiny_dir):
-    """0100's amenity filter must reach the node_tags parquet scan."""
-    v = pipeline.tiled_views(spark, tiny_dir)
+    """0100's amenity filter must reach the node_tags parquet scan
+    (probed on the uncached views — the shared-partitioning cache
+    replaces file scans with InMemoryTableScan)."""
+    v = pipeline.tiled_views(spark, tiny_dir, share_partitioning=False)
     plan = _plan(available_checks()[100](v))
     assert "PushedFilters" in plan
     assert "place_of_worship" in plan, "tag literal should be pushed to the scan"
+
+
+def test_tile_partition_pruning(spark, tiny_dir):
+    """The engine views are hive-partitioned by tile: a per-tile-group
+    filter must prune at the scan, not post-filter every file."""
+    from pyspark.sql import functions as F
+
+    v = pipeline.tiled_views(spark, tiny_dir, share_partitioning=False)
+    df = v.ways.filter(F.col("tile").isin(["A1"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tile" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_shared_tile_partitioning_cuts_exchanges(spark, tiny_dir):
+    """With the tile-partitioned cache + subset co-partition matching,
+    a (tile, …)-keyed join over two views must not insert any
+    exchange; the single cached repartition serves every consumer."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        v = pipeline.tiled_views(spark, tiny_dir)
+        j = v.way_tags.join(
+            v.way_nodes, ["tile", "way_id"]
+        ).groupBy("tile", "way_id").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    # the only exchanges allowed are the cache's own REPARTITION_BY_NUM
+    # (shown inside the InMemoryRelation lineage); a per-join
+    # ENSURE_REQUIREMENTS shuffle means the shared partitioning was
+    # not reused
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
 
 
 def test_no_python_row_udfs(spark, tiny_dir):
