@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from keepright_spark import media as media_mod
 from keepright_spark import oracles, pipeline
 from keepright_spark.datagen import ensure_dataset, scale_for_sf_dir
 
@@ -24,6 +25,14 @@ CHECKS_WITH_ORACLE = [
 ]
 # checks implemented in Spark only (rows-only verification)
 CHECKS_ROWS_ONLY: list[int] = []
+
+# multimodal operators over the media spans (keepright_spark.media):
+# name -> (engine fn over the tiled media view, oracle fn)
+MEDIA_QUERIES = {
+    "kr_media_census": (media_mod.media_census, "oracle_media_census"),
+    "kr_media_dups": (media_mod.media_dup_refs, "oracle_media_dups"),
+    "kr_media_integrity": (media_mod.media_integrity, "oracle_media_integrity"),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -40,11 +49,21 @@ def _mk_check_query(cid: int) -> Callable[[SparkSession, str], DataFrame]:
     return q
 
 
+def _mk_media_query(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = ensure_dataset(scale_for_sf_dir(sf_dir))
+        return fn(media_mod.tiled_media(spark, d))
+
+    return q
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ensure_dataset("s")  # the oracle side reads files from disk
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for cid in CHECKS_WITH_ORACLE + CHECKS_ROWS_ONLY:
         out[f"kr_{cid:04d}"] = _mk_check_query(cid)
+    for name, (fn, _oname) in MEDIA_QUERIES.items():
+        out[name] = _mk_media_query(fn)
     return out
 
 
@@ -53,4 +72,6 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for cid in CHECKS_WITH_ORACLE:
         out[f"kr_{cid:04d}"] = getattr(oracles, f"oracle_{cid:04d}")(d)
+    for name, (_fn, oname) in MEDIA_QUERIES.items():
+        out[name] = getattr(oracles, oname)(d)
     return out

@@ -32,15 +32,34 @@ def main() -> None:
     ap.add_argument("--checks", help="comma-separated check ids (default: all)")
     ap.add_argument("--cores", type=int, default=None, help="local[*] cores")
     ap.add_argument("--export", help="write the published error_view TSV dump here")
+    ap.add_argument(
+        "--diff",
+        action="store_true",
+        help="incremental replication cycle: re-run only tiles whose "
+        "docs changed since the last snapshot (checks/planet.php:48-129)",
+    )
+    ap.add_argument(
+        "--watchdog",
+        action="store_true",
+        help="run the health assertions (watchdog.php) after the run; "
+        "non-zero exit on issues",
+    )
     args = ap.parse_args()
 
     check_ids = (
         [int(c) for c in args.checks.split(",")] if args.checks else None
     )
     spark = get_spark("keepright_spark", cores=args.cores)
-    errors = lifecycle.run_persistent(
-        spark, args.dataset, args.state, check_ids=check_ids
-    )
+    if args.diff:
+        from . import diff as diff_mod
+
+        errors = diff_mod.diff_update(
+            spark, args.dataset, args.state, check_ids=check_ids
+        )
+    else:
+        errors = lifecycle.run_persistent(
+            spark, args.dataset, args.state, check_ids=check_ids
+        )
     summary = {
         "errors_total": errors.count(),
         "by_state": {
@@ -54,8 +73,19 @@ def main() -> None:
         v = pipeline.tiled_views(spark, args.dataset)
         pub = lifecycle.published_view(errors, v)
         summary["export"] = export_mod.export_error_view(pub, args.export)
+    rc = 0
+    if args.watchdog:
+        from .watchdog import run_watchdog
+
+        issues = run_watchdog(
+            args.dataset, args.state, export_dir=args.export or None
+        )
+        summary["watchdog_issues"] = issues
+        rc = 1 if issues else 0
     print(json.dumps(summary))
     spark.stop()
+    if rc:
+        raise SystemExit(rc)
 
 
 if __name__ == "__main__":

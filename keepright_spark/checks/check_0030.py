@@ -31,6 +31,185 @@ from ..errors import finish_errors
 MSGID = "This way is tagged with '$1=$2' and should be closed-loop"
 
 
+def _biconnected(adj: dict) -> tuple[set, list]:
+    """Articulation vertices + biconnected components (vertex sets) of
+    an undirected graph, iterative Hopcroft-Tarjan (no recursion — the
+    class graph of a dense '*' rule can be deep)."""
+    disc: dict = {}
+    low: dict = {}
+    art: set = set()
+    blocks: list = []
+    timer = 0
+    estack: list = []
+    for root in adj:
+        if root in disc:
+            continue
+        disc[root] = low[root] = timer
+        timer += 1
+        stack = [(root, None, iter(adj[root]))]
+        root_children = 0
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w == parent:
+                    continue
+                if w in disc:
+                    if disc[w] < disc[v]:
+                        estack.append((v, w))
+                        low[v] = min(low[v], disc[w])
+                else:
+                    estack.append((v, w))
+                    disc[w] = low[w] = timer
+                    timer += 1
+                    stack.append((w, v, iter(adj[w])))
+                    advanced = True
+                    break
+            if advanced:
+                continue
+            stack.pop()
+            if parent is not None:
+                low[parent] = min(low[parent], low[v])
+                if low[v] >= disc[parent]:
+                    comp = set()
+                    while estack:
+                        a, b = estack.pop()
+                        comp.add(a)
+                        comp.add(b)
+                        if (a, b) == (parent, v):
+                            break
+                    if comp:
+                        blocks.append(comp)
+                    if parent == root:
+                        root_children += 1
+                    else:
+                        art.add(parent)
+        if root_children > 1:
+            art.add(root)
+    return art, blocks
+
+
+def _block_cut_tree(art: set, blocks: list):
+    """Block-cut tree: one node per block ('b', i) and per articulation
+    vertex ('c', v); returns (tree adjacency, graph-vertex → tree node)."""
+    tree: dict = {("c", v): [] for v in art}
+    node_of: dict = {v: ("c", v) for v in art}
+    for i, comp in enumerate(blocks):
+        bn = ("b", i)
+        tree[bn] = []
+        for v in comp:
+            if v in art:
+                tree[bn].append(("c", v))
+                tree[("c", v)].append(bn)
+            else:
+                node_of[v] = bn
+    return tree, node_of
+
+
+def _open_ways(pairs, subjects) -> list:
+    """Open (not-closeable) subject ways of one (tile, rule) group.
+
+    Reachability fn→ln in the bipartite junction graph minus the
+    subject way == "does removing the way-vertex separate fn from
+    ln".  One block-cut tree per group (O(V+E)) turns every subject
+    into an O(log deg) cut-vertex query — bounded even for a dense
+    '*' rule class, where a per-subject BFS is O(subjects × edges).
+
+    ``pairs``: (way_id, node_id) junction incidences; ``subjects``:
+    (way_id, first_node_id, last_node_id).  Returns open way ids in
+    subject order.
+    """
+    from bisect import bisect_right
+
+    adj: dict = {}
+    for w, nd in pairs:
+        wv, nv = ("w", int(w)), ("n", int(nd))
+        adj.setdefault(wv, []).append(nv)
+        adj.setdefault(nv, []).append(wv)
+    art, blocks = _biconnected(adj)
+    tree, node_of = _block_cut_tree(art, blocks)
+    tin, tout, parent, root_of = _euler(tree)
+    # children of each cut node sorted by entry time (for the
+    # which-subtree binary search)
+    children: dict = {}
+    for n in tree:
+        if n[0] == "c":
+            ch = sorted(
+                (c for c in tree[n] if parent.get(c) == n),
+                key=lambda c: tin[c],
+            )
+            children[n] = (ch, [tin[c] for c in ch])
+
+    def inside(a, b):  # b within a's subtree
+        return tin[a] <= tin[b] and tout[b] <= tout[a]
+
+    def side(cut, x):
+        """component of tree node x after removing cut: -1 = above
+        cut, else index of the cut child whose subtree holds x."""
+        if not inside(cut, x):
+            return -1
+        ch, tins = children[cut]
+        i = bisect_right(tins, tin[x]) - 1
+        return i if i >= 0 and inside(ch[i], x) else -1
+
+    bad = []
+    for w, fn, ln in subjects:
+        w, fn, ln = int(w), int(fn), int(ln)
+        fnv, lnv = ("n", fn), ("n", ln)
+        # the legacy BFS marks an already-seen start node as never
+        # "found": endpoints equal → open
+        if fn == ln or fnv not in node_of or lnv not in node_of:
+            bad.append(w)
+            continue
+        u, vv = node_of[fnv], node_of[lnv]
+        if root_of[u] != root_of[vv]:
+            bad.append(w)
+            continue
+        wv = ("w", w)
+        if wv not in art:
+            continue  # not a cut vertex: still connected without it
+        cut = ("c", wv)
+        if side(cut, u) != side(cut, vv):
+            bad.append(w)
+    return bad
+
+
+def _euler(tree: dict):
+    """Iterative rooted traversal: entry/exit times, parents, roots."""
+    tin: dict = {}
+    tout: dict = {}
+    parent: dict = {}
+    root_of: dict = {}
+    t = 0
+    for r in tree:
+        if r in tin:
+            continue
+        parent[r] = None
+        tin[r] = t
+        t += 1
+        root_of[r] = r
+        stack = [(r, iter(tree[r]))]
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w in tin:
+                    continue
+                parent[w] = v
+                tin[w] = t
+                t += 1
+                root_of[w] = r
+                stack.append((w, iter(tree[w])))
+                advanced = True
+                break
+            if advanced:
+                continue
+            tout[v] = t
+            t += 1
+            stack.pop()
+    return tin, tout, parent, root_of
+
+
 def run(v: OsmViews) -> DataFrame:
     spark = v.ways.sparkSession
     rules = F.broadcast(
@@ -120,37 +299,12 @@ def run(v: OsmViews) -> DataFrame:
         gmask = pdf["node_id"].notna()
         g = pdf[gmask]
         subj = pdf[~gmask]
-        node_ways: dict = {}
-        way_nodes: dict = {}
-        for w, nd in zip(g["way_id"].to_numpy(), g["node_id"].to_numpy()):
-            w, nd = int(w), int(nd)
-            node_ways.setdefault(nd, set()).add(w)
-            way_nodes.setdefault(w, set()).add(nd)
-        bad = []
-        for w, fn, ln in zip(subj["way_id"].to_numpy(),
-                             subj["first_node_id"].to_numpy(),
-                             subj["last_node_id"].to_numpy()):
-            w, fn, ln = int(w), int(fn), int(ln)
-            seen_nodes = {fn}
-            seen_ways = set()
-            frontier = [fn]
-            found = False
-            while frontier and not found:
-                nxt = []
-                for nd in frontier:
-                    for ow in node_ways.get(nd, ()):  # ways at node
-                        if ow == w or ow in seen_ways:
-                            continue
-                        seen_ways.add(ow)
-                        for nd2 in way_nodes[ow]:
-                            if nd2 not in seen_nodes:
-                                seen_nodes.add(nd2)
-                                nxt.append(nd2)
-                                if nd2 == ln:
-                                    found = True
-                frontier = nxt
-            if not found:
-                bad.append(w)
+        bad = _open_ways(
+            zip(g["way_id"].to_numpy(), g["node_id"].to_numpy()),
+            zip(subj["way_id"].to_numpy(),
+                subj["first_node_id"].to_numpy(),
+                subj["last_node_id"].to_numpy()),
+        )
         if not bad:
             return pd.DataFrame({"tile": [], "rule_id": [], "sw": []}).astype(
                 {"tile": str, "rule_id": "int32", "sw": "int64"})

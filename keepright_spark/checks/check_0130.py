@@ -104,8 +104,16 @@ def run(v: OsmViews) -> DataFrame:
     # seeded reachability: tile-local union-find inside a vectorized
     # applyInPandas operator — a single shuffle keyed by tile instead
     # of diameter-many driver BFS rounds (which scale with component
-    # length, not data volume)
-    seeds = set(int(s) for s in (v.island_seeds or []))
+    # length, not data volume).  Seeds are per tile (dict tile →
+    # [way_id], the twin of the reference's per-region curated list);
+    # a legacy flat list is treated as global seeds for every tile.
+    raw_seeds = v.island_seeds or {}
+    if isinstance(raw_seeds, dict):
+        seeds_by_tile = {t: {int(s) for s in ids} for t, ids in raw_seeds.items()}
+        global_seeds = None
+    else:
+        seeds_by_tile = None
+        global_seeds = {int(s) for s in raw_seeds}
 
     import pandas as pd
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -140,6 +148,12 @@ def run(v: OsmViews) -> DataFrame:
             if nk not in parent:
                 parent[nk] = nk
             union(wk, nk)
+        tile_name = str(pdf["tile"].iloc[0]) if len(pdf) else ""
+        seeds = (
+            seeds_by_tile.get(tile_name, set())
+            if seeds_by_tile is not None
+            else global_seeds
+        )
         seed_roots = {
             find(("w", s)) for s in seeds if ("w", s) in parent
         }

@@ -150,9 +150,10 @@ class OsmViews:
     #                              member_type, sequence_id
     relation_tags: DataFrame  # relation_id, k, v
     # island-seed way ids for check 0130 (dataset config, the twin of
-    # the reference's $islands list, 0130_islands.php:26-335); None →
+    # the reference's per-region $islands list, 0130_islands.php:26-335):
+    # dict tile -> [way_id] (legacy flat list = global seeds); None →
     # no seeds configured
-    island_seeds: list | None = None
+    island_seeds: dict | list | None = None
     # optional materialized helper tables (prepare_helpertables twins,
     # written once by pipeline.prepare so the per-check jobs skip the
     # shared derivations): way_layers, one_ways, way_lengths, segments

@@ -31,7 +31,7 @@ from .codec import DOCS_ARROW_SCHEMA, encode_object, fmt_coord
 from .mercator import merc_x, merc_y
 from .tiling import DEFAULT_MARGIN_M, DEFAULT_TILES, Tile
 
-GEN_VERSION = 15  # bump to force dataset regeneration
+GEN_VERSION = 17  # bump to force dataset regeneration
 
 # region covering the scale's tile grid + margins; build_world() sets
 # these per scale so object DENSITY stays constant as the world grows
@@ -591,6 +591,26 @@ def inj_0070_relation_member(b: World, rng: np.random.RandomState, n: int) -> No
             b.rl([("W", wid, "outer")], [("type", "multipolygon")])
 
 
+def inj_0180_deep_relations(b: World, rng: np.random.RandomState, n: int) -> None:
+    """Nested relation chains exercising the recursive location
+    descent (helpers.php:469-527): the top relation has only a
+    relation member, so its error_view coordinates resolve through
+    2-3 levels of member relations down to a node."""
+    for i in range(n):
+        lat7, lon7 = _rand_pt(rng)
+        nid = b.nd(lat7, lon7)
+        rid = b.rl([("N", nid, "")], [("type", "route"), ("route", "road")])
+        depth = 2 + i % 2  # chains of depth 2 and 3 above the anchor
+        for lvl in range(depth):
+            top = lvl == depth - 1
+            # the topmost relation is untyped -> a 0180 error whose
+            # location must resolve through the chain
+            rid = b.rl(
+                [("R", rid, "")],
+                [] if top else [("type", "multipolygon")],
+            )
+
+
 def inj_0400_geometry(b: World, rng: np.random.RandomState, n: int) -> None:
     for _ in range(n):
         lat7, lon7 = _rand_pt(rng)
@@ -981,6 +1001,7 @@ INJECTORS = [
     (inj_0360_language, 2),
     (inj_0420_suspicious, 4),
     (inj_0070_relation_member, 2),
+    (inj_0180_deep_relations, 2),
     (inj_0040_oneways, 4),
     (inj_0230_layers, 4),
     (inj_0050_almost_junctions, 5),
@@ -1066,27 +1087,46 @@ def _write_docs(b: World, path: str) -> None:
 
     doc_ids, span_lists = [], []
 
+    def tweak_media(oid: int, spans: list) -> list:
+        """Deterministic media anomalies for the multimodal operators:
+        objects with oid % 101 == 0 share one media_ref pool (cross-doc
+        duplicates; their per-span mimes already differ, giving mime
+        conflicts on the shared ref); oid % 103 == 0 drops the first
+        media ref (dangling).  Span order/offsets are untouched — the
+        pass-through invariant holds."""
+        out = []
+        first_media = True
+        for kind, text, ref, off in spans:
+            if kind == "media":
+                if oid % 101 == 0:
+                    ref = f"media://shared{(oid // 101) % 5}"
+                if oid % 103 == 0 and first_media:
+                    ref = None
+                first_media = False
+            out.append((kind, text, ref, off))
+        return out
+
     for nid, uid, lat7, lon7 in b.nodes:
         doc_id, spans = encode_object(
             "node", nid, uid, _tstamp_iso(nid), node_tags.get(nid, []),
             coord=(lat7 / 1e7, lon7 / 1e7), n_media=nid % 4,
         )
         doc_ids.append(doc_id)
-        span_lists.append(spans)
+        span_lists.append(tweak_media(nid, spans))
     for wid, uid in b.ways:
         doc_id, spans = encode_object(
             "way", wid, uid, _tstamp_iso(wid), way_tags.get(wid, []),
             noderefs=sorted(way_nodes.get(wid, [])), n_media=wid % 4,
         )
         doc_ids.append(doc_id)
-        span_lists.append(spans)
+        span_lists.append(tweak_media(wid, spans))
     for rid, uid in b.relations:
         doc_id, spans = encode_object(
             "relation", rid, uid, _tstamp_iso(rid), rel_tags.get(rid, []),
             members=sorted(rel_members.get(rid, [])), n_media=rid % 4,
         )
         doc_ids.append(doc_id)
-        span_lists.append(spans)
+        span_lists.append(tweak_media(rid, spans))
 
     table = pa.Table.from_pydict(
         {
@@ -1160,9 +1200,14 @@ def _oracle_border_parts(ways_t, way_tags_t, relation_tags_t, rm_t):
         recs = [x for x in recs if x["relation_id"] is None
                 or x["relation_id"] not in bad_rels]
 
-        # stitch per (name, admin_level) group
+        # stitch per (name, admin_level) group — NULL is its own group
+        # key, distinct from '' (matching the engine's groupBy NULL
+        # semantics in boundaries.stitched_border_ways)
         import itertools
-        keyf = lambda x: (x["name"] or "", x["admin_level"] or "")
+        keyf = lambda x: (
+            x["name"] if x["name"] is not None else "\x00NULL",
+            x["admin_level"] if x["admin_level"] is not None else "\x00NULL",
+        )
         recs.sort(key=lambda x: (keyf(x), x["way_id"]))
         for _, grp_it in itertools.groupby(recs, key=keyf):
             grp = list(grp_it)
@@ -1398,27 +1443,33 @@ def _oracle_views(
     ways_t = ways.merge(way_tile.rename(columns={"way_id": "id"}), on="id")
     way_tags_t = way_tags.merge(way_tile, on="way_id")
 
-    # relations: fixpoint pruning
-    tile_names = [t.name for t in tiles]
-    rel_tile = pd.MultiIndex.from_product(
-        [relations["id"], tile_names], names=["id", "tile"]
-    ).to_frame(index=False)
+    # relations: member-seeded tile assignment grown parent-ward to
+    # fixpoint — the pandas twin of tiling.assign_tiles (seed from
+    # direct N/W members, iterate upward for nested relations)
     local_n = node_tile.assign(member_type="N")
     local_w = way_tile.rename(columns={"way_id": "id"}).assign(member_type="W")
-    for _ in range(8):
-        local_r = rel_tile.assign(member_type="R")
-        local_objs = pd.concat([local_n, local_w, local_r], ignore_index=True)
-        mm = relation_members.merge(
-            local_objs.rename(columns={"id": "member_id"}),
+    local_nw = pd.concat([local_n, local_w], ignore_index=True)
+    rel_tile = (
+        relation_members.merge(
+            local_nw.rename(columns={"id": "member_id"}),
             on=["member_id", "member_type"],
-        )[["relation_id", "tile"]].drop_duplicates()
-        new_rel_tile = rel_tile.merge(
-            mm.rename(columns={"relation_id": "id"}), on=["id", "tile"]
+        )[["relation_id", "tile"]]
+        .drop_duplicates()
+        .rename(columns={"relation_id": "id"})
+    )
+    rm_nested = relation_members[relation_members.member_type == "R"]
+    for _ in range(8):
+        grown = (
+            rm_nested.merge(
+                rel_tile.rename(columns={"id": "member_id"}), on="member_id"
+            )[["relation_id", "tile"]]
+            .drop_duplicates()
+            .rename(columns={"relation_id": "id"})
         )
-        if len(new_rel_tile) == len(rel_tile):
-            rel_tile = new_rel_tile
+        merged = pd.concat([rel_tile, grown], ignore_index=True).drop_duplicates()
+        if len(merged) == len(rel_tile):
             break
-        rel_tile = new_rel_tile
+        rel_tile = merged
 
     relations_t = relations.merge(rel_tile, on="id")
     local_objs = pd.concat(
@@ -1464,20 +1515,35 @@ def _oracle_views(
     }
 
 
-def island_seeds(b: World, n: int = 5) -> list[int]:
-    """Deterministic seed ways for check 0130: the first ``n`` organic
-    highway-tagged member-class ways — the dataset twin of the
-    reference's hand-picked well-connected seed list
-    (0130_islands.php:26-335)."""
+def island_seeds_per_tile(views: dict) -> dict[str, list[int]]:
+    """One well-connected seed way PER TILE for check 0130 — the
+    dataset twin of the reference's hand-picked per-region seed list
+    (0130_islands.php:26-335, one curated way per schema).  Seeds are
+    chosen post-tiling: in each tile, the non-excluded highway way
+    touching the most junction nodes (tie: lowest way_id).  A tile
+    with no junctioned highway way gets no seed, mirroring a reference
+    region absent from the curated list."""
     excluded = {"emergency_access_point", "construction", "services",
                 "preproposed", "proposed", "rest_area"}
-    out: list[int] = []
-    for way_id, k, v in b.way_tags:
-        if k == "highway" and v not in excluded and way_id not in out:
-            out.append(way_id)
-            if len(out) >= n:
-                break
-    return out
+    wt = views["way_tags"]
+    wn = views["way_nodes"]
+    hw = wt[(wt.k == "highway") & ~wt.v.isin(excluded)][
+        ["tile", "way_id"]
+    ].drop_duplicates()
+    w = wn[["tile", "way_id", "node_id"]].merge(hw, on=["tile", "way_id"])
+    deg = (
+        w.groupby(["tile", "node_id"])["way_id"].nunique().reset_index(name="nw")
+    )
+    jn = deg[deg.nw > 1][["tile", "node_id"]]
+    wj = w.merge(jn, on=["tile", "node_id"])
+    cnt = (
+        wj.groupby(["tile", "way_id"])["node_id"].nunique().reset_index(name="nj")
+    )
+    cnt = cnt.sort_values(
+        ["tile", "nj", "way_id"], ascending=[True, False, True]
+    )
+    top = cnt.groupby("tile").head(1)
+    return {str(r.tile): [int(r.way_id)] for r in top.itertuples()}
 
 
 def write_dataset(
@@ -1489,9 +1555,10 @@ def write_dataset(
     tiles = tiles or scale_tiles(scale)
     os.makedirs(os.path.join(out_dir, "oracle"), exist_ok=True)
     b = build_world(scale)
-    seeds = island_seeds(b)
     _write_docs(b, os.path.join(out_dir, "docs.parquet"))
-    for name, df in _oracle_views(b, tiles, margin_m).items():
+    views = _oracle_views(b, tiles, margin_m)
+    seeds = island_seeds_per_tile(views)
+    for name, df in views.items():
         if "tstamp" in df.columns:
             # microsecond precision: Spark cannot read NANOS parquet
             df = df.assign(tstamp=df["tstamp"].astype("datetime64[us]"))

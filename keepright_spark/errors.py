@@ -8,7 +8,8 @@ resolved afterwards per object type (run-checks.php:336-424):
 * node     → the node's own lat/lon,
 * way      → the way's *first* node,
 * relation → a member node, else a member way's node, else recursive
-             descent into member relations.
+             descent into member relations (to the reference's depth
+             100, helpers.php:469-527; fixpoint with early exit).
 
 The reference resolves relation locations with UPDATE..FROM joins that
 pick an *arbitrary* matching row; we pin a deterministic choice (the
@@ -205,29 +206,44 @@ def resolve_locations(
     rel_loc = rel_by_node.unionByName(
         rel_by_way.join(rel_by_node, ["tile", "object_id"], "left_anti")
     )
-    # one level of relation-in-relation descent
+    # recursive relation-in-relation descent to the reference's depth
+    # (helpers.php:469-527 recurses to depth 100).  Deterministic pin:
+    # a parent is located at the first round any member relation is
+    # located, via the minimum-sequence_id child among those located —
+    # equivalently, the min-sequence child of minimal nesting depth
+    # (the oracle unrolls the same rule).  Each round is one
+    # incremental join over the yet-unlocated parents; the loop exits
+    # on an empty frontier, so non-nested worlds pay a single probe.
     rel_member_rel = v.relation_members.filter(F.col("member_type") == "R").select(
         "tile", "relation_id", F.col("member_id").alias("child_id"), "sequence_id"
     )
-    nested = (
-        rel_member_rel.join(
-            rel_loc.select(
-                "tile", F.col("object_id").alias("child_id"), "lat", "lon"
-            ),
-            ["tile", "child_id"],
-        )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("tile", "relation_id").orderBy("sequence_id")
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .select("tile", F.col("relation_id").alias("object_id"), "lat", "lon")
-    )
-    rel_loc = rel_loc.unionByName(
-        nested.join(rel_loc, ["tile", "object_id"], "left_anti")
-    )
+    if rel_member_rel.limit(1).count() > 0:
+        rel_loc = rel_loc.localCheckpoint(eager=True)
+        for _ in range(100):
+            nested = (
+                rel_member_rel.join(
+                    rel_loc.select(
+                        "tile", F.col("object_id").alias("child_id"), "lat", "lon"
+                    ),
+                    ["tile", "child_id"],
+                )
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("tile", "relation_id").orderBy(
+                            "sequence_id"
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select("tile", F.col("relation_id").alias("object_id"), "lat", "lon")
+            )
+            frontier = nested.join(
+                rel_loc, ["tile", "object_id"], "left_anti"
+            ).localCheckpoint(eager=True)
+            if frontier.count() == 0:
+                break
+            rel_loc = rel_loc.unionByName(frontier).localCheckpoint(eager=True)
     parts.append(
         no_ll.filter(F.col("object_type") == "relation").join(
             rel_loc, ["tile", "object_id"], "inner"

@@ -61,11 +61,15 @@ def sync_errors(
     fresh: DataFrame,
     executed_checks: list[int],
     run_seq: int,
+    tile_scope: list[str] | None = None,
 ) -> DataFrame:
     """Next state of the persistent errors table.
 
     ``fresh``: clipped error_view rows of this run (errors.ERROR_COLS).
     ``existing``: previous errors table (ERRORS_SCHEMA) or None.
+    ``tile_scope``: tiles this run actually executed (diff update) —
+    vanished errors outside the scope keep their state, exactly like
+    the reference's per-schema runs never clear other schemas' rows.
     """
     spark = fresh.sparkSession
     if existing is None:
@@ -88,6 +92,8 @@ def sync_errors(
     old_side = existing["error_id"].isNotNull()
 
     in_scope_old = _decade_scope(executed_checks, existing["error_type"])
+    if tile_scope is not None:
+        in_scope_old = in_scope_old & existing["tile"].isin(list(tile_scope))
 
     both = j.filter(old_side & fresh_side).select(
         existing["error_id"],
@@ -249,12 +255,14 @@ def run_persistent(
     check_ids: list[int] | None = None,
     run_seq: int | None = None,
     tile_group_size: int = 64,
+    only_tiles: list[str] | None = None,
 ) -> DataFrame:
     """Full resumable run: staged per-tile-group check execution with
     lineage, then one state sync into the persistent errors table.
 
     Returns the new persistent errors DataFrame (also written to
-    ``state_dir/errors.parquet``; previous runs' lineage under
+    ``state_dir/errors_v<run_seq>.parquet`` and committed via the
+    ``errors_CURRENT`` pointer; previous runs' lineage under
     ``state_dir/lineage/``)."""
     os.makedirs(state_dir, exist_ok=True)
     manifest_path = os.path.join(state_dir, "run_manifest.json")
@@ -263,22 +271,70 @@ def run_persistent(
         with open(manifest_path) as f:
             manifest = json.load(f)
     if run_seq is None:
-        run_seq = int(manifest.get("last_run_seq", 0)) + 1
+        # crash-safe resume: pick up the latest *uncommitted* run (its
+        # groups_done lets us skip completed tile groups); otherwise
+        # start after the last committed run.  last_run_seq is only
+        # advanced at commit, so a crash mid-run never orphans its
+        # staged groups.
+        seqs = sorted(
+            int(k.split("_", 1)[1])
+            for k in manifest
+            if k.startswith("run_") and k.split("_", 1)[1].isdigit()
+        )
+        uncommitted = [
+            s for s in seqs if not manifest[f"run_{s}"].get("committed")
+        ]
+        if uncommitted:
+            run_seq = uncommitted[-1]
+        else:
+            run_seq = int(manifest.get("last_run_seq", 0)) + 1
 
     registry = available_checks()
     if check_ids is None:
         check_ids = sorted(registry)
     tiles = pipeline.dataset_tiles(dataset_dir) or []
+    if only_tiles is not None:
+        # diff-update scope: process only the affected tiles; an empty
+        # scope (no changes) returns the committed table untouched
+        scope_set = set(only_tiles)
+        tiles = [t for t in tiles if t.name in scope_set]
+        if not tiles:
+            cur = current_errors_path(state_dir)
+            if cur is not None:
+                return spark.read.parquet(cur)
+            return spark.createDataFrame([], ERRORS_SCHEMA)
     # no shared cache here: each tile group filters the views to its
     # tiles, and over the raw tile-partitioned parquet that filter is
     # partition pruning — the group's scan touches only its partitions
     v = pipeline.tiled_views(spark, dataset_dir, share_partitioning=False)
+    # refuse to run over an empty base table (run-checks.php:66-84) —
+    # a vanished input would otherwise "clear" every error in scope
+    from .watchdog import assert_base_tables
 
-    groups = [
-        tiles[i : i + tile_group_size]
-        for i in range(0, len(tiles), tile_group_size)
-    ]
+    assert_base_tables(v)
+
+    # The tile-group layout is part of the run's durable state: a
+    # resumed process must read the staged outputs under the SAME
+    # grouping it crashed with, not one re-derived from its own
+    # tile_group_size argument.
     run_key = f"run_{run_seq}"
+    rec = manifest.get(run_key, {})
+    tile_by_name = {t.name: t for t in tiles}
+    if rec.get("groups"):
+        groups = [
+            [tile_by_name[n] for n in g if n in tile_by_name]
+            for g in rec["groups"]
+        ]
+    else:
+        groups = [
+            tiles[i : i + tile_group_size]
+            for i in range(0, len(tiles), tile_group_size)
+        ]
+        manifest.setdefault(run_key, {})["groups"] = [
+            [t.name for t in g] for g in groups
+        ]
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
     done = set(manifest.get(run_key, {}).get("groups_done", []))
     lineage_dir = os.path.join(state_dir, "lineage")
     os.makedirs(lineage_dir, exist_ok=True)
@@ -323,7 +379,6 @@ def run_persistent(
             )
         done.add(gi)
         manifest.setdefault(run_key, {})["groups_done"] = sorted(done)
-        manifest["last_run_seq"] = run_seq
         with open(manifest_path, "w") as f:
             json.dump(manifest, f)
 
@@ -333,20 +388,60 @@ def run_persistent(
             for gi in range(len(groups))
         ]
     )
-    errors_path = os.path.join(state_dir, "errors.parquet")
     existing = None
-    if os.path.exists(errors_path):
-        existing = spark.read.parquet(errors_path)
-    new_errors = sync_errors(existing, fresh, check_ids, run_seq)
-    tmp_path = errors_path + f".v{run_seq}"
-    new_errors.write.mode("overwrite").parquet(tmp_path)
-    final = spark.read.parquet(tmp_path)
-    final.write.mode("overwrite").parquet(errors_path)
+    cur = current_errors_path(state_dir)
+    if cur is not None:
+        existing = spark.read.parquet(cur)
+    new_errors = sync_errors(
+        existing,
+        fresh,
+        check_ids,
+        run_seq,
+        tile_scope=[t.name for t in tiles] if only_tiles is not None else None,
+    )
+    # versioned write + atomic pointer swap: the new table is written
+    # to its own directory (never overwriting the copy it reads), then
+    # errors_CURRENT is flipped with an atomic rename — a crash at any
+    # point leaves a readable previous version
+    new_path = os.path.join(state_dir, f"errors_v{run_seq}.parquet")
+    new_errors.write.mode("overwrite").parquet(new_path)
+    ptr = os.path.join(state_dir, "errors_CURRENT")
+    tmp_ptr = ptr + ".tmp"
+    with open(tmp_ptr, "w") as f:
+        f.write(os.path.basename(new_path))
+    os.replace(tmp_ptr, ptr)
     # node-density census alongside (skew metrics)
     node_density(v).write.mode("overwrite").parquet(
         os.path.join(state_dir, "node_density.parquet")
     )
-    manifest[run_key]["committed"] = True
+    manifest.setdefault(run_key, {})["committed"] = True
+    manifest["last_run_seq"] = run_seq
     with open(manifest_path, "w") as f:
         json.dump(manifest, f)
-    return spark.read.parquet(errors_path)
+    # GC superseded versions (keep the previous one as a safety copy)
+    import shutil
+
+    for name in os.listdir(state_dir):
+        if name.startswith("errors_v") and name.endswith(".parquet"):
+            try:
+                ver = int(name[len("errors_v"):-len(".parquet")])
+            except ValueError:
+                continue
+            if ver < run_seq - 1:
+                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+    return spark.read.parquet(new_path)
+
+
+def current_errors_path(state_dir: str) -> str | None:
+    """Resolve the live errors table via the errors_CURRENT pointer
+    file (atomic-rename committed); falls back to the legacy
+    errors.parquet path for pre-pointer state dirs."""
+    ptr = os.path.join(state_dir, "errors_CURRENT")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            rel = f.read().strip()
+        p = os.path.join(state_dir, rel)
+        if os.path.exists(p):
+            return p
+    legacy = os.path.join(state_dir, "errors.parquet")
+    return legacy if os.path.exists(legacy) else None

@@ -106,13 +106,30 @@ rel_way_loc AS (
         WHERE wn.lat IS NOT NULL
     ) WHERE rn=1
 ),
-rel_loc AS (
+rel_loc_d0 AS MATERIALIZED (
     SELECT * FROM rel_node_loc
     UNION ALL
     SELECT w.* FROM rel_way_loc w
     WHERE NOT EXISTS (SELECT 1 FROM rel_node_loc n
                       WHERE n.tile=w.tile AND n.relation_id=w.relation_id)
 ),
+""" + "".join(
+    f"""rel_loc_d{d} AS MATERIALIZED (
+    SELECT * FROM rel_loc_d{d - 1}
+    UNION ALL
+    SELECT m.tile, m.relation_id,
+           arg_min(c.lat, m.sequence_id) AS lat,
+           arg_min(c.lon, m.sequence_id) AS lon
+    FROM relation_members m
+    JOIN rel_loc_d{d - 1} c ON m.member_type='R' AND m.tile=c.tile
+                          AND m.member_id=c.relation_id
+    WHERE NOT EXISTS (SELECT 1 FROM rel_loc_d{d - 1} p
+                      WHERE p.tile=m.tile AND p.relation_id=m.relation_id)
+    GROUP BY m.tile, m.relation_id
+),
+"""
+    for d in range(1, 11)
+) + """rel_loc AS (SELECT * FROM rel_loc_d10),
 resolved AS (
     SELECT e.tile, e.error_type, e.object_type, e.object_id,
            CAST(ROUND(COALESCE(e.lat_d, 1e7 * COALESCE(n.lat, w.first_node_lat, r.lat))) AS BIGINT) AS lat,
@@ -1933,10 +1950,32 @@ def oracle_0130(d: str) -> str:
 
     try:
         with open(_os.path.join(d, "MANIFEST.json")) as f:
-            seeds = _json.load(f).get("island_seeds") or []
+            seeds = _json.load(f).get("island_seeds") or {}
     except (OSError, ValueError):
-        seeds = []
-    seed_vals = ", ".join(f"({int(s)})" for s in seeds) or "(-1)"
+        seeds = {}
+    if isinstance(seeds, dict):
+        # per-tile seeds (manifest dict tile -> [way_id])
+        pairs = [
+            (tile, int(s)) for tile, ids in sorted(seeds.items()) for s in ids
+        ]
+    else:  # legacy flat list: every seed applies in every tile
+        pairs = None
+    if pairs is not None:
+        seed_vals = (
+            ", ".join(f"('{t}', {s})" for t, s in pairs) or "('', -1)"
+        )
+        seeds_cte = f"seeds (tile, way_id) AS (SELECT * FROM (VALUES {seed_vals}) t(tile, way_id))"
+        reached_base = (
+            "SELECT DISTINCT w.tile, w.way_id FROM wnj w "
+            "JOIN seeds s ON s.tile=w.tile AND s.way_id=w.way_id"
+        )
+    else:
+        seed_vals = ", ".join(f"({int(s)})" for s in seeds) or "(-1)"
+        seeds_cte = f"seeds (way_id) AS (SELECT * FROM (VALUES {seed_vals}) t(way_id))"
+        reached_base = (
+            "SELECT DISTINCT w.tile, w.way_id FROM wnj w "
+            "WHERE w.way_id IN (SELECT way_id FROM seeds)"
+        )
     msg = "'This way is not connected to the rest of the map'"
     body = f"""
 mw AS (
@@ -1976,10 +2015,9 @@ connector AS (
        OR (k='amenity' AND v='parking')
        OR (k IN ('railway','public_transport') AND v='platform')
 ),
-seeds (way_id) AS (SELECT * FROM (VALUES {seed_vals}) t(way_id)),
+{seeds_cte},
 reached AS (
-    SELECT DISTINCT w.tile, w.way_id FROM wnj w
-    WHERE w.way_id IN (SELECT way_id FROM seeds)
+    {reached_base}
     UNION
     SELECT w2.tile, w2.way_id
     FROM reached r
@@ -2431,3 +2469,56 @@ QUOTED_TAG_LIST_SQL_0220 = (
     "string_agg('\"' || COALESCE(k,'') || '=' || COALESCE(v,'') || '\"', "
     "', ' ORDER BY k, v)"
 )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (media-span) operator oracles — computed straight off the
+# docs table (media.py is the engine twin)
+# ---------------------------------------------------------------------------
+
+
+def _media_preamble(d: str) -> str:
+    return f"""docs AS (SELECT * FROM read_parquet('{d}/docs.parquet')),
+sp AS (SELECT doc_id, UNNEST(spans) AS s FROM docs),
+m AS (SELECT split_part(doc_id,'/',1) AS object_type,
+             CAST(split_part(doc_id,'/',2) AS BIGINT) AS id, doc_id,
+             split_part(s.text, chr(9), 1) AS mime, s.media_ref AS media_ref
+      FROM sp WHERE s.kind='media'),
+ot AS (SELECT DISTINCT 'node' AS object_type, id, tile FROM nodes
+       UNION SELECT DISTINCT 'way' AS object_type, id, tile FROM ways
+       UNION SELECT DISTINCT 'relation' AS object_type, id, tile FROM relations),
+tm AS (SELECT m.*, ot.tile FROM m JOIN ot USING (object_type, id))"""
+
+
+def oracle_media_census(d: str) -> str:
+    return (
+        f"WITH {preamble(d)},\n{_media_preamble(d)}\n"
+        "SELECT tile, mime, count(*) AS n_spans, "
+        "count(DISTINCT media_ref) AS n_refs, "
+        "count(DISTINCT doc_id) AS n_docs "
+        "FROM tm GROUP BY tile, mime"
+    )
+
+
+def oracle_media_dups(d: str) -> str:
+    return (
+        f"WITH {preamble(d)},\n{_media_preamble(d)}\n"
+        "SELECT tile, media_ref, count(doc_id) AS n_docs, "
+        "string_agg(doc_id, ',' ORDER BY doc_id) AS docs "
+        "FROM (SELECT DISTINCT tile, media_ref, doc_id FROM tm "
+        "      WHERE media_ref IS NOT NULL) "
+        "GROUP BY tile, media_ref HAVING count(doc_id) > 1"
+    )
+
+
+def oracle_media_integrity(d: str) -> str:
+    return (
+        f"WITH {preamble(d)},\n{_media_preamble(d)}\n"
+        "SELECT DISTINCT tile, 'dangling_ref' AS violation, doc_id, "
+        "CAST(NULL AS VARCHAR) AS media_ref FROM tm WHERE media_ref IS NULL\n"
+        "UNION ALL\n"
+        "SELECT tile, 'mime_conflict' AS violation, "
+        "CAST(NULL AS VARCHAR) AS doc_id, media_ref FROM ("
+        "SELECT tile, media_ref, count(DISTINCT mime) AS nm FROM tm "
+        "WHERE media_ref IS NOT NULL GROUP BY tile, media_ref) WHERE nm > 1"
+    )

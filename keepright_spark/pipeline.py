@@ -80,6 +80,7 @@ def prepare(
     ``<dataset_dir>/engine/`` (idempotent per generator version)."""
     out = os.path.join(dataset_dir, "engine")
     stamp = os.path.join(out, "engine_manifest.json")
+    docs_sig = _docs_signature(dataset_dir)
     if not force and os.path.exists(stamp):
         try:
             with open(stamp) as f:
@@ -87,6 +88,7 @@ def prepare(
             if (
                 st.get("gen_version") == GEN_VERSION
                 and st.get("engine_version") == ENGINE_VERSION
+                and st.get("docs_sig", docs_sig) == docs_sig
             ):
                 return out
         except (json.JSONDecodeError, OSError):
@@ -115,8 +117,35 @@ def prepare(
         df.unpersist()
     _write_helpers(spark, out, n_files)
     with open(stamp, "w") as f:
-        json.dump({"gen_version": GEN_VERSION, "engine_version": ENGINE_VERSION}, f)
+        json.dump(
+            {
+                "gen_version": GEN_VERSION,
+                "engine_version": ENGINE_VERSION,
+                "docs_sig": docs_sig,
+            },
+            f,
+        )
     return out
+
+
+def _docs_signature(dataset_dir: str) -> str:
+    """Cheap driver-side change signature of the docs table (file
+    names + sizes + mtimes) — a replication diff lands as new parquet
+    files, so a stale engine dir is re-materialized automatically."""
+    import hashlib
+
+    docs = os.path.join(dataset_dir, "docs.parquet")
+    h = hashlib.sha256()
+    if os.path.isdir(docs):
+        for root, _dirs, files in sorted(os.walk(docs)):
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
 
 
 # helper tables materialized alongside the views — the twin of the

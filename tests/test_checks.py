@@ -32,6 +32,11 @@ def test_check_vs_oracle(spark, small_dir, cid):
     compare_query(spark, f"kr_{cid:04d}", "/root/testdata/sf0.01")
 
 
+@pytest.mark.parametrize("name", sorted(entrymod.MEDIA_QUERIES))
+def test_media_vs_oracle(spark, small_dir, name):
+    compare_query(spark, name, "/root/testdata/sf0.01")
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0

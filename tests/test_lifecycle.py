@@ -81,6 +81,45 @@ def test_persistent_run_resume(spark, tiny_dir, tmp_path):
     assert m["last_run_seq"] == 2 and m["run_2"]["committed"]
 
 
+def test_crash_resume_uncommitted_run(spark, tiny_dir, tmp_path):
+    """A restart after a crash mid-run must resume the SAME run_seq,
+    reuse its committed tile groups, and finish with a committed
+    errors table behind the atomic errors_CURRENT pointer."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    e1 = lifecycle.run_persistent(
+        spark, tiny_dir, state, check_ids=[20], tile_group_size=1
+    )
+    n1 = e1.count()
+    mp = os.path.join(state, "run_manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    # simulate a crash after all tile groups committed but before the
+    # table commit: drop the committed flag, pointer and table
+    del m["run_1"]["committed"]
+    m.pop("last_run_seq", None)
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    shutil.rmtree(os.path.join(state, "errors_v1.parquet"))
+    os.remove(os.path.join(state, "errors_CURRENT"))
+    lineage_mtimes = {
+        f: os.path.getmtime(os.path.join(state, "lineage", f))
+        for f in os.listdir(os.path.join(state, "lineage"))
+    }
+
+    e2 = lifecycle.run_persistent(spark, tiny_dir, state, check_ids=[20])
+    with open(mp) as f:
+        m = json.load(f)
+    assert m["last_run_seq"] == 1 and m["run_1"]["committed"]
+    assert e2.count() == n1
+    with open(os.path.join(state, "errors_CURRENT")) as f:
+        assert f.read().strip() == "errors_v1.parquet"
+    # completed tile groups were skipped, not recomputed
+    for f_, mt in lineage_mtimes.items():
+        assert os.path.getmtime(os.path.join(state, "lineage", f_)) == mt
+
+
 def test_id_assignment_distributed_and_dense(spark):
     # ids must be dense 1..N, follow the KEY total order, and the
     # row_number window must be tile-partitioned (no global funnel)
