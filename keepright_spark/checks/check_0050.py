@@ -180,7 +180,9 @@ def run(v: OsmViews) -> DataFrame:
             bbox_cells(F.col("x"), F.col("y"), F.col("x"), F.col("y"), CELL_M, RADIUS)
         ),
     )
-    jj = p2.join(e2, ["tile", "cell"]).filter(
+    from ..spatial import spread
+
+    jj = spread(p2, "tile", "cell").join(e2, ["tile", "cell"]).filter(
         (F.col("nearby_way_id") != F.col("way_id"))
         & (F.col("layer") != F.col("layer2"))
     )
@@ -238,7 +240,7 @@ def run(v: OsmViews) -> DataFrame:
         ),
     )
     vetoed = (
-        line_cells.join(bseg_cells, ["tile", "cell"])
+        spread(line_cells, "tile", "cell").join(bseg_cells, ["tile", "cell"])
         .filter(
             # same-layer candidates: barrier on that layer; cross-layer
             # end-node candidates: barrier on either layer (0050:235-239)

@@ -173,6 +173,9 @@ def run(v: OsmViews) -> DataFrame:
     from ..spatial import refine_hot_cells
 
     seg_cells = refine_hot_cells(seg_cells, CELL_M, extra_keys=["layer"])
+    from ..spatial import spread
+
+    seg_cells = spread(seg_cells, "tile", "cell", "layer")
     s1 = seg_cells.select(
         "tile", "cell", "layer",
         F.col("way_id").alias("w1"), F.col("way_type").alias("t1"),
@@ -267,10 +270,19 @@ def run(v: OsmViews) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)),
     )
-    # dedupe duplicate cells / duplicate vertices
-    geom = geom.select(
-        "tile", "w1", "w2", "t1", "t2", "kind", "px", "py", "qx", "qy", "olen"
-    ).distinct()
+    # dedupe duplicate cells / duplicate vertices.  The geometry frame
+    # feeds FIVE consumers downstream (pair_stats → cross_pairs/over,
+    # pts twice, connected) — materialize it once instead of
+    # recomputing the pair join + intersection math per consumer (this
+    # alone was ~5× the check's wall).  It is tiny relative to the
+    # pair join input (one row per touching pair vertex).
+    geom = (
+        geom.select(
+            "tile", "w1", "w2", "t1", "t2", "kind", "px", "py", "qx", "qy", "olen"
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     # --- per-pair classification -------------------------------------
     m1 = meta.select(

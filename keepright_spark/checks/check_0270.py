@@ -69,7 +69,9 @@ def _seg_seg_within(
     """(tile, way_id) of ``segs_a`` ways with min distance ≤ radius to
     any ``segs_b`` segment.  Both frames carry (tile, cell, way_id,
     ax..by); b-columns are suffixed 2."""
-    j = segs_a.join(segs_b, ["tile", "cell"])
+    from ..spatial import spread
+
+    j = spread(segs_a, "tile", "cell").join(segs_b, ["tile", "cell"])
     dists = []
     for px, py, ax, ay, bx, by in (
         ("ax", "ay", "ax2", "ay2", "bx2", "by2"),
@@ -211,8 +213,10 @@ def run(v: OsmViews) -> DataFrame:
         F.col("px2"), F.col("py2"),
         F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
     )
+    from .. import spatial as _sp
+
     near_ways_n = (
-        svc_segs.join(amen_nodes, ["tile", "cell"])
+        _sp.spread(svc_segs, "tile", "cell").join(amen_nodes, ["tile", "cell"])
         .filter(d2n <= RADIUS * RADIUS)
         .select("tile", "way_id")
         .distinct()

@@ -139,8 +139,10 @@ def run(v: OsmViews) -> DataFrame:
         .withColumn("cell", point_cells(F.col("x"), F.col("y"), CELL_M))
     )
 
+    from ..spatial import spread
+
     cands = (
-        cand_nodes.join(poly_cells, ["tile", "cell"])
+        spread(cand_nodes, "tile", "cell").join(poly_cells, ["tile", "cell"])
         .select(
             "tile", "way_id", "node_id",
             F.col("x").alias("px"), F.col("y").alias("py"),

@@ -1033,6 +1033,10 @@ SCALES = {
     # the pairwise spatial joins compute-bound (the north rule's
     # high-density skew scenario)
     "d": (20000, 4000, 50, 5, 4),
+    # scaling-probe world for the N→4N efficiency measurement: 4× the
+    # l-world so per-task compute dominates the per-stage scheduling
+    # latency of the single-JVM sandbox (BENCH/BASELINE.md)
+    "xl": (352000, 288000, 3200, 52, 54),
 }
 SF_TO_SCALE = {"sf0.001": "t", "sf0.01": "s", "sf0.1": "m", "sf1": "l"}
 

@@ -230,3 +230,19 @@ def refine_hot_cells(
         ),
     ).withColumn("cell", F.col("cell") + F.lit(1 << 62))
     return cold.unionByName(fine.select(cold.columns))
+
+
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition on the FULL bucket key ahead of a
+    quadratic-in-bucket join.
+
+    The engine views share one tile-level hash partitioning
+    (pipeline.tiled_views + subset co-partition matching), which runs
+    ordinary (tile, …) joins exchange-free — but for a cell-bucketed
+    pair join that would funnel every bucket of a hot tile through a
+    single task.  Spending one exchange here spreads buckets across
+    all tasks and lets refine_hot_cells' salting actually balance the
+    work; the other join side is co-partitioned to match by
+    EnsureRequirements."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *keys)
