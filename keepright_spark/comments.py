@@ -1,0 +1,161 @@
+"""Web mirror tables: comments, error_counts, schemata.
+
+The reference's webserver keeps three mirror tables next to the
+uploaded error_view (web/setup.sql:48-129):
+
+* ``comments`` / ``comments_historic`` — one user comment + ignore
+  state per (schema, error_id); storing a new comment archives the
+  previous one (web/comment.php:33-50).
+* ``error_counts`` — per-(schema, error_type) row counts, refreshed
+  from the freshly uploaded view (web/webUpdateServer.php:414-418);
+  served by web/error_count.php.
+* ``schemata`` — tile rectangles incl. the padded (margin) boxes
+  (web/setup.sql:113-129), the webserver's tile lookup for viewport
+  queries.
+
+The read path folds comments into the published view exactly like
+web/points.php / web/export.php: ``COALESCE(c.state, e.state)`` with
+ignored rows dropped unless explicitly requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COMMENTS_SCHEMA = (
+    "tile string, error_id long, state string, comment string, "
+    "ts long, ip string, user_agent string"
+)
+
+
+def empty_comments(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], COMMENTS_SCHEMA)
+
+
+def add_comment(
+    comments: DataFrame,
+    historic: DataFrame | None,
+    tile: str,
+    error_id: int,
+    state: str | None,
+    comment: str | None,
+    ts: int,
+    ip: str | None = None,
+    user_agent: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Store a comment (web/comment.php:33-50): the existing comment
+    on (tile, error_id) moves to the historic table, the new one
+    replaces it.  ``st='ignore_t'`` arrives as 'ignore_temporarily'
+    (comment.php:25); comment text is html-escaped by the caller the
+    same way the reference's htmlspecialchars does (lib.html_escape).
+    Returns (comments, historic)."""
+    spark = comments.sparkSession
+    if historic is None:
+        historic = empty_comments(spark)
+    if state == "ignore_t":
+        state = "ignore_temporarily"
+    old = comments.filter(
+        (F.col("tile") == tile) & (F.col("error_id") == error_id)
+    )
+    historic = historic.unionByName(old)
+    kept = comments.filter(
+        ~((F.col("tile") == tile) & (F.col("error_id") == error_id))
+    )
+    new = spark.createDataFrame(
+        [(tile, error_id, state, comment, ts, ip, user_agent)],
+        COMMENTS_SCHEMA,
+    )
+    return kept.unionByName(new), historic
+
+
+def apply_comment_state(
+    published: DataFrame,
+    comments: DataFrame,
+    show_ignored: bool = False,
+) -> DataFrame:
+    """Fold comment state/text into published rows: state becomes
+    COALESCE(comment_state, state) and ignored rows are dropped
+    unless requested (web/export.php:46-64, web/points.php:29-57)."""
+    c = comments.select(
+        "tile",
+        "error_id",
+        F.col("state").alias("_cstate"),
+        F.col("comment").alias("comment"),
+    )
+    out = (
+        published.join(c, ["tile", "error_id"], "left")
+        .withColumn("state", F.coalesce(F.col("_cstate"), F.col("state")))
+        .drop("_cstate")
+    )
+    if not show_ignored:
+        out = out.filter(
+            ~F.col("state").isin("ignore", "ignore_temporarily")
+        )
+    return out
+
+
+def error_counts(published: DataFrame) -> DataFrame:
+    """Per-(tile, error_type) counts of the uploaded view
+    (webUpdateServer.php:414-418)."""
+    return published.groupBy("tile", "error_type").agg(
+        F.count("error_id").alias("error_count")
+    )
+
+
+def count_for_types(counts: DataFrame, error_types: list[int]) -> int:
+    """web/error_count.php: SUM(error_count) over the requested
+    types (0 when none match)."""
+    row = (
+        counts.filter(F.col("error_type").isin([int(t) for t in error_types]))
+        .agg(F.coalesce(F.sum("error_count"), F.lit(0)).alias("c"))
+        .first()
+    )
+    return int(row["c"])
+
+
+def schemata(spark: SparkSession, tiles, margin_m: float) -> DataFrame:
+    """The schemata tile-rectangle table (web/setup.sql:113-129):
+    unpadded + margin-padded boxes per tile."""
+    rows = []
+    for t in tiles:
+        pl, pr, pt, pb = t.padded(margin_m)
+        rows.append(
+            (t.left, t.right, t.top, t.bottom, pl, pr, pt, pb, t.name)
+        )
+    return spark.createDataFrame(
+        rows,
+        "`left` double, `right` double, top double, bottom double, "
+        "left_padded double, right_padded double, top_padded double, "
+        "bottom_padded double, tile string",
+    )
+
+
+def export_comments_tsv(comments: DataFrame) -> list[str]:
+    """The comment dump lines (webUpdateServer.php:160-181): ordered
+    by (schema, error_id), tab-safe comment text."""
+    safe = F.replace(
+        F.replace(
+            F.replace(F.coalesce(F.col("comment"), F.lit("")), F.lit("\t"), F.lit(" ")),
+            F.lit("\r\n"),
+            F.lit("<br>"),
+        ),
+        F.lit("\n"),
+        F.lit("<br>"),
+    )
+    rows = (
+        comments.filter(F.col("tile").isNotNull() & (F.col("tile") != ""))
+        .orderBy("tile", "error_id")
+        .select(
+            F.concat_ws(
+                "\t",
+                F.col("tile"),
+                F.col("error_id").cast("string"),
+                F.coalesce(F.col("state"), F.lit("")),
+                safe,
+                F.col("ts").cast("string"),
+            ).alias("line")
+        )
+        .collect()
+    )
+    return [r["line"] for r in rows]

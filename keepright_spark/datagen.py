@@ -1037,6 +1037,12 @@ SCALES = {
     # l-world so per-task compute dominates the per-stage scheduling
     # latency of the single-JVM sandbox (BENCH/BASELINE.md)
     "xl": (352000, 288000, 3200, 52, 54),
+    # extreme-density world (~3600 ways/tile ≈ 29× organic density):
+    # the cell pair joins' per-task compute grows quadratically with
+    # density while the stage count stays constant, so executor
+    # compute dominates the sandbox's per-stage driver latency — the
+    # compute-bound regime a production cluster lives in
+    "xd": (72000, 9000, 120, 5, 4),
 }
 SF_TO_SCALE = {"sf0.001": "t", "sf0.01": "s", "sf0.1": "m", "sf1": "l"}
 

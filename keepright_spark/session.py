@@ -52,6 +52,15 @@ def get_spark(
         # size the heap for 32 concurrent tasks (cluster deployments
         # size per-executor memory instead)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # the 32-check suite generates thousands of whole-stage-codegen
+        # classes; the JVM default 240m code cache fills mid-suite and
+        # silently DISABLES JIT ("CodeHeap ... compilation: disabled"),
+        # leaving every later stage interpreted.  Only effective for
+        # the first session of a process (JVM launch option).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
