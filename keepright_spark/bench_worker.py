@@ -39,6 +39,7 @@ def main() -> None:
             for n in pipeline.VIEW_NAMES
         },
         island_seeds=v.island_seeds,
+        cell_stats=v.cell_stats,
         **{
             h: getattr(v, h).filter(F.col("tile").isin(names))
             for h in pipeline.HELPER_NAMES

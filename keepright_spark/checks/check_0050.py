@@ -182,7 +182,12 @@ def run(v: OsmViews) -> DataFrame:
     )
     from ..spatial import spread
 
-    jj = spread(p2, "tile", "cell").join(e2, ["tile", "cell"]).filter(
+    # end-node × end-node: sparse by construction (unconnected way
+    # ends), so the balancing exchange only pays for itself when the
+    # prepare-time census shows genuinely hot cells
+    jj = spread(
+        p2, "tile", "cell", stats=v.cell_stats, stat="max_node_cell64"
+    ).join(e2, ["tile", "cell"]).filter(
         (F.col("nearby_way_id") != F.col("way_id"))
         & (F.col("layer") != F.col("layer2"))
     )
@@ -240,7 +245,9 @@ def run(v: OsmViews) -> DataFrame:
         ),
     )
     vetoed = (
-        spread(line_cells, "tile", "cell").join(bseg_cells, ["tile", "cell"])
+        spread(
+            line_cells, "tile", "cell", stats=v.cell_stats, stat="max_seg_cell64"
+        ).join(bseg_cells, ["tile", "cell"])
         .filter(
             # same-layer candidates: barrier on that layer; cross-layer
             # end-node candidates: barrier on either layer (0050:235-239)

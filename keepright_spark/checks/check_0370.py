@@ -142,7 +142,9 @@ def run(v: OsmViews) -> DataFrame:
     from ..spatial import spread
 
     cands = (
-        spread(cand_nodes, "tile", "cell").join(poly_cells, ["tile", "cell"])
+        spread(
+            cand_nodes, "tile", "cell", stats=v.cell_stats, stat="max_node_cell64"
+        ).join(poly_cells, ["tile", "cell"])
         .select(
             "tile", "way_id", "node_id",
             F.col("x").alias("px"), F.col("y").alias("py"),

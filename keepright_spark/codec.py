@@ -161,6 +161,12 @@ class OsmViews:
     h_oneways: DataFrame | None = None
     h_lengths: DataFrame | None = None
     h_segments: DataFrame | None = None
+    # prepare-time cell-density census (engine_manifest.json,
+    # pipeline.prepare): {"max_node_cell64": n, "max_seg_cell64": n} —
+    # the occupancy of the hottest 64 m grid cell.  spatial.spread()
+    # consults it to skip its balancing exchange on worlds where no
+    # cell is hot (the cluster analog is Iceberg table statistics).
+    cell_stats: dict | None = None
 
 
 def _exploded(docs: DataFrame) -> DataFrame:

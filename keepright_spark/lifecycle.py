@@ -175,11 +175,17 @@ def sync_errors(
         .withColumn("last_checked", F.lit(run_seq))
     )
     cols = [fld.split(" ")[0] for fld in ERRORS_SCHEMA.split(", ")]
-    return (
+    out = (
         both.select(cols)
         .unionByName(only_old.select(cols))
         .unionByName(only_new.select(cols))
     )
+    # fresh_new's cache (consumed by tile_off AND only_new) can only be
+    # released once the result is materialized; long-lived diff-update
+    # sessions would otherwise accumulate cached partitions per sync
+    # cycle.  The caller that materializes (run_persistent) unpersists.
+    out._kr_release = fresh_new  # type: ignore[attr-defined]
+    return out
 
 
 def published_view(errors: DataFrame, v) -> DataFrame:
@@ -270,25 +276,6 @@ def run_persistent(
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
-    if run_seq is None:
-        # crash-safe resume: pick up the latest *uncommitted* run (its
-        # groups_done lets us skip completed tile groups); otherwise
-        # start after the last committed run.  last_run_seq is only
-        # advanced at commit, so a crash mid-run never orphans its
-        # staged groups.
-        seqs = sorted(
-            int(k.split("_", 1)[1])
-            for k in manifest
-            if k.startswith("run_") and k.split("_", 1)[1].isdigit()
-        )
-        uncommitted = [
-            s for s in seqs if not manifest[f"run_{s}"].get("committed")
-        ]
-        if uncommitted:
-            run_seq = uncommitted[-1]
-        else:
-            run_seq = int(manifest.get("last_run_seq", 0)) + 1
-
     registry = available_checks()
     if check_ids is None:
         check_ids = sorted(registry)
@@ -303,6 +290,53 @@ def run_persistent(
             if cur is not None:
                 return spark.read.parquet(cur)
             return spark.createDataFrame([], ERRORS_SCHEMA)
+    # the run's identity: exactly which tiles it covers and which docs
+    # snapshot it reads — a resumed run must match BOTH, else its
+    # staged groups describe a different world than the sync would
+    # commit against (newly-affected tiles would be silently skipped
+    # yet fall inside the clear scope → false 'cleared' rows)
+    scope_names = sorted(t.name for t in tiles)
+    docs_sig = pipeline._docs_signature(dataset_dir)
+    if run_seq is None:
+        # crash-safe resume: pick up the latest *uncommitted* run (its
+        # groups_done lets us skip completed tile groups) — but only
+        # when its recorded scope + docs signature match this call's;
+        # otherwise abandon the stale staged run and start fresh.
+        # last_run_seq is only advanced at commit, so a crash mid-run
+        # never orphans its staged groups.
+        seqs = sorted(
+            int(k.split("_", 1)[1])
+            for k in manifest
+            if k.startswith("run_") and k.split("_", 1)[1].isdigit()
+        )
+        uncommitted = [
+            s for s in seqs if not manifest[f"run_{s}"].get("committed")
+        ]
+        if uncommitted:
+            cand = uncommitted[-1]
+            rec = manifest[f"run_{cand}"]
+            stored_scope = rec.get("scope") or sorted(
+                {n for g in rec.get("groups", []) for n in g}
+            )
+            if (
+                stored_scope == scope_names
+                and rec.get("docs_sig", docs_sig) == docs_sig
+            ):
+                run_seq = cand
+            else:
+                # stale crashed run: drop its record + staged outputs
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(state_dir, "stage", f"run_{cand}"),
+                    ignore_errors=True,
+                )
+                del manifest[f"run_{cand}"]
+                with open(manifest_path, "w") as f:
+                    json.dump(manifest, f)
+                run_seq = max(int(manifest.get("last_run_seq", 0)), cand) + 1
+        else:
+            run_seq = int(manifest.get("last_run_seq", 0)) + 1
     # no shared cache here: each tile group filters the views to its
     # tiles, and over the raw tile-partitioned parquet that filter is
     # partition pruning — the group's scan touches only its partitions
@@ -330,9 +364,11 @@ def run_persistent(
             tiles[i : i + tile_group_size]
             for i in range(0, len(tiles), tile_group_size)
         ]
-        manifest.setdefault(run_key, {})["groups"] = [
-            [t.name for t in g] for g in groups
-        ]
+        rec = manifest.setdefault(run_key, {})
+        rec["groups"] = [[t.name for t in g] for g in groups]
+        # run identity for crash-safe resume: scope + docs snapshot
+        rec["scope"] = scope_names
+        rec["docs_sig"] = docs_sig
         with open(manifest_path, "w") as f:
             json.dump(manifest, f)
     done = set(manifest.get(run_key, {}).get("groups_done", []))
@@ -350,6 +386,7 @@ def run_persistent(
                 for n in pipeline.VIEW_NAMES
             },
             island_seeds=v.island_seeds,
+            cell_stats=v.cell_stats,
             **{
                 h: getattr(v, h).filter(F.col("tile").isin(names))
                 for h in pipeline.HELPER_NAMES
@@ -405,6 +442,7 @@ def run_persistent(
     # point leaves a readable previous version
     new_path = os.path.join(state_dir, f"errors_v{run_seq}.parquet")
     new_errors.write.mode("overwrite").parquet(new_path)
+    getattr(new_errors, "_kr_release", fresh).unpersist()
     ptr = os.path.join(state_dir, "errors_CURRENT")
     tmp_ptr = ptr + ".tmp"
     with open(tmp_ptr, "w") as f:

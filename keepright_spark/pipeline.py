@@ -116,16 +116,48 @@ def prepare(
     for df in persisted:
         df.unpersist()
     _write_helpers(spark, out, n_files)
+    cell_stats = _cell_census(spark, out)
     with open(stamp, "w") as f:
         json.dump(
             {
                 "gen_version": GEN_VERSION,
                 "engine_version": ENGINE_VERSION,
                 "docs_sig": docs_sig,
+                "cell_stats": cell_stats,
             },
             f,
         )
     return out
+
+
+def _cell_census(spark: SparkSession, out: str) -> dict:
+    """Hottest-64 m-cell occupancy of nodes and way segments — the
+    prepare-time skew statistic spatial.spread() gates its balancing
+    exchange on (the cluster analog is Iceberg table stats, refreshed
+    with the table).  Midpoint cells: a hotness detector, not a join
+    cover, so bbox expansion is unnecessary."""
+    from .spatial import point_cells
+
+    nodes = spark.read.parquet(f"{out}/nodes.parquet")
+    node_max = (
+        nodes.groupBy("tile", point_cells(F.col("x"), F.col("y"), 64.0).alias("c"))
+        .count()
+        .agg(F.coalesce(F.max("count"), F.lit(0)))
+        .first()[0]
+    )
+    segs = spark.read.parquet(f"{out}/h_segments.parquet")
+    seg_max = (
+        segs.groupBy(
+            "tile",
+            point_cells(
+                (F.col("ax") + F.col("bx")) / 2, (F.col("ay") + F.col("by")) / 2, 64.0
+            ).alias("c"),
+        )
+        .count()
+        .agg(F.coalesce(F.max("count"), F.lit(0)))
+        .first()[0]
+    )
+    return {"max_node_cell64": int(node_max), "max_seg_cell64": int(seg_max)}
 
 
 def _docs_signature(dataset_dir: str) -> str:
@@ -153,7 +185,7 @@ def _docs_signature(dataset_dir: str) -> str:
 # oneways / lengths / segments reads the parquet instead of re-running
 # the shared aggregation (saves ~4 stages per consuming check job)
 HELPER_NAMES = ["h_layers", "h_oneways", "h_lengths", "h_segments"]
-ENGINE_VERSION = 3
+ENGINE_VERSION = 4  # 4: cell_stats census in the engine manifest
 
 
 def _write_helpers(spark: SparkSession, out: str, n_files: int) -> None:
@@ -201,6 +233,12 @@ def tiled_views(
             seeds = json.load(f).get("island_seeds")
     except (OSError, ValueError):
         pass
+    cell_stats = None
+    try:
+        with open(os.path.join(out, "engine_manifest.json")) as f:
+            cell_stats = json.load(f).get("cell_stats")
+    except (OSError, ValueError):
+        pass
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
@@ -222,6 +260,7 @@ def tiled_views(
     v = OsmViews(
         **{name: _load(f"{out}/{name}.parquet") for name in VIEW_NAMES},
         island_seeds=seeds,
+        cell_stats=cell_stats,
         **helpers,
     )
     if share_partitioning:
