@@ -84,19 +84,41 @@ def media_census(tm: DataFrame) -> DataFrame:
     )
 
 
+DUP_ROSTER_CAP = 20
+
+
 def media_dup_refs(tm: DataFrame) -> DataFrame:
     """Refs shared by more than one doc in a tile (exact dedup
-    candidates; refs are content hashes)."""
-    return (
+    candidates; refs are content hashes).
+
+    ``n_docs`` is exact; ``docs`` is a deterministic top-K sample
+    (first ``DUP_ROSTER_CAP`` doc_ids in sort order).  The cap is
+    load-bearing at scale: a planet-hot ref (one logo referenced by
+    10^7 docs) would otherwise produce one multi-GB aggregation value
+    in a single task.  The row_number/count windows stay linear in the
+    hot key's rows; the aggregation buffer is bounded by the cap."""
+    from pyspark.sql import Window
+
+    base = (
         tm.filter(F.col("media_ref").isNotNull())
+        .select("tile", "media_ref", "doc_id")
+        .distinct()
+    )
+    part = Window.partitionBy("tile", "media_ref")
+    ranked = base.withColumn(
+        "_rn", F.row_number().over(part.orderBy("doc_id"))
+    ).withColumn("_total", F.count(F.lit(1)).over(part))
+    return (
+        ranked.filter(F.col("_rn") <= DUP_ROSTER_CAP)
         .groupBy("tile", "media_ref")
         .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
+            F.max("_total").alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
                 "docs"
             ),
         )
         .filter(F.col("n_docs") > 1)
+        .withColumn("n_docs", F.col("n_docs").cast("long"))
     )
 
 

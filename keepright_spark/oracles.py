@@ -2501,13 +2501,17 @@ def oracle_media_census(d: str) -> str:
 
 
 def oracle_media_dups(d: str) -> str:
+    # mirrors media.DUP_ROSTER_CAP: exact n_docs, top-20 doc sample
     return (
         f"WITH {preamble(d)},\n{_media_preamble(d)}\n"
-        "SELECT tile, media_ref, count(doc_id) AS n_docs, "
-        "string_agg(doc_id, ',' ORDER BY doc_id) AS docs "
-        "FROM (SELECT DISTINCT tile, media_ref, doc_id FROM tm "
-        "      WHERE media_ref IS NOT NULL) "
-        "GROUP BY tile, media_ref HAVING count(doc_id) > 1"
+        "SELECT tile, media_ref, max(total) AS n_docs, "
+        "string_agg(doc_id, ',' ORDER BY doc_id) AS docs FROM ("
+        "SELECT tile, media_ref, doc_id, "
+        "count(*) OVER (PARTITION BY tile, media_ref) AS total, "
+        "row_number() OVER (PARTITION BY tile, media_ref ORDER BY doc_id) "
+        "AS rn FROM (SELECT DISTINCT tile, media_ref, doc_id FROM tm "
+        "WHERE media_ref IS NOT NULL)) WHERE rn <= 20 "
+        "GROUP BY tile, media_ref HAVING max(total) > 1"
     )
 
 
