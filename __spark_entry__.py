@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from keepright_spark import doc_oracles, docops
 from keepright_spark import media as media_mod
 from keepright_spark import oracles, pipeline
 from keepright_spark.datagen import ensure_dataset, scale_for_sf_dir
@@ -32,6 +33,28 @@ MEDIA_QUERIES = {
     "kr_media_census": (media_mod.media_census, "oracle_media_census"),
     "kr_media_dups": (media_mod.media_dup_refs, "oracle_media_dups"),
     "kr_media_integrity": (media_mod.media_integrity, "oracle_media_integrity"),
+}
+
+# training-data-pipeline operators over the driver's documents /
+# embeddings tables (keepright_spark.docops): name -> (input loader,
+# operator, doc_oracles fn).  Oracle SQL references the driver's
+# pre-registered `documents` / `embeddings` views.
+DOC_QUERIES = {
+    "kr_doc_stats": (docops.documents, docops.doc_stats, "oracle_doc_stats"),
+    "kr_doc_langid": (docops.documents, docops.doc_langid,
+                      "oracle_doc_langid"),
+    "kr_doc_fingerprint": (docops.documents, docops.doc_fingerprint,
+                           "oracle_doc_fingerprint"),
+    "kr_doc_simhash": (docops.documents, docops.doc_simhash,
+                       "oracle_doc_simhash"),
+    "kr_doc_exact_dups": (docops.documents, docops.doc_exact_dups,
+                          "oracle_doc_exact_dups"),
+    "kr_doc_minhash_neardups": (docops.documents, docops.doc_minhash_neardups,
+                                "oracle_doc_minhash_neardups"),
+    "kr_emb_knn_brute": (docops.embeddings, docops.emb_knn_brute,
+                         "oracle_emb_knn_brute"),
+    "kr_emb_ann_lsh": (docops.embeddings, docops.emb_ann_lsh,
+                       "oracle_emb_ann_lsh"),
 }
 
 
@@ -57,6 +80,13 @@ def _mk_media_query(fn) -> Callable[[SparkSession, str], DataFrame]:
     return q
 
 
+def _mk_doc_query(loader, fn) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(loader(spark, sf_dir))
+
+    return q
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ensure_dataset("s")  # the oracle side reads files from disk
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -64,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"kr_{cid:04d}"] = _mk_check_query(cid)
     for name, (fn, _oname) in MEDIA_QUERIES.items():
         out[name] = _mk_media_query(fn)
+    for name, (loader, fn, _oname) in DOC_QUERIES.items():
+        out[name] = _mk_doc_query(loader, fn)
     return out
 
 
@@ -74,4 +106,6 @@ def oracle_sql() -> dict[str, str]:
         out[f"kr_{cid:04d}"] = getattr(oracles, f"oracle_{cid:04d}")(d)
     for name, (_fn, oname) in MEDIA_QUERIES.items():
         out[name] = getattr(oracles, oname)(d)
+    for name, (_loader, _fn, oname) in DOC_QUERIES.items():
+        out[name] = getattr(doc_oracles, oname)(d)
     return out

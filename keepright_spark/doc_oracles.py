@@ -1,0 +1,261 @@
+"""DuckDB oracle SQL for the ``docops`` operators.
+
+These run on the driver's pre-registered ``documents`` /
+``embeddings`` views (TESTDATA.md: the sf parquet tables are exposed
+under their bare names), so unlike the OSM-check oracles they take no
+dataset dir.  Every constant (hash widths, minhash coefficients, LSH
+planes, caps, thresholds) is imported from ``docops`` and inlined
+into the SQL, so engine and oracle cannot drift apart.
+
+Cross-engine building blocks (validated on DuckDB 1.0 / Spark 4):
+
+* h32(s)   = ('0x'||substr(md5(s),1,8))::BIGINT
+             ≙ Spark conv(substring(md5(s),1,8),16,10)::long
+* tokens   = list_filter(string_split_regex(lower(x),'[^a-z0-9]+'),
+             t -> t <> '')   ≙ Spark filter(split(lower(x),...))
+* int/int division yields DOUBLE in both engines
+* struct comparison is field-order lexicographic in both engines
+"""
+
+from __future__ import annotations
+
+from .docops import (
+    ANN_PLANES,
+    DUP_ROSTER_CAP,
+    EMB_DIM,
+    KNN_K,
+    KNN_QUERY_MOD,
+    LANG_MARKERS,
+    LSH_BANDS,
+    LSH_BUCKET_CAP,
+    MERSENNE31,
+    MINHASH_K,
+    NEARDUP_JACCARD,
+    ROLL_BASE,
+    SHINGLE_K,
+    SIMHASH_BITS,
+    STOPWORDS,
+    ann_planes,
+    minhash_coeffs,
+)
+
+TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "t -> t <> '')"
+)
+
+
+def _shingle_hashes_sql(toks: str = "toks") -> str:
+    """Distinct sorted 32-bit shingle hashes mod MERSENNE31."""
+    k = SHINGLE_K
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(k))
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"CASE WHEN len({toks}) >= {k} "
+        f"THEN range(1, len({toks}) - {k - 2}) ELSE [] END, "
+        f"i -> ('0x'||substr(md5({parts}),1,8))::BIGINT % {MERSENNE31})))"
+    )
+
+
+def oracle_doc_stats(d: str) -> str:
+    stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        / greatest(length(text), 1), 6) AS upper_ratio,
+  round(len(list_filter(toks, t -> list_contains({stop_list}, t)))
+        / greatest(len(toks), 1), 6) AS stop_ratio,
+  round(coalesce(list_aggregate(list_transform(toks, t -> length(t)),
+                                'sum'), 0)
+        / greatest(len(toks), 1), 6) AS mean_tok_len,
+  round(
+    (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+    * (1.0 - least(round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '',
+                                               'g'))
+                         / greatest(length(text), 1), 6) * 4, 1.0))
+    * (0.5 + least(round(len(list_filter(toks,
+                             t -> list_contains({stop_list}, t)))
+                         / greatest(len(toks), 1), 6) * 5, 0.5)),
+    6) AS quality
+FROM t
+"""
+
+
+def oracle_doc_langid(d: str) -> str:
+    structs = []
+    for idx, (_lang, markers) in enumerate(LANG_MARKERS):
+        mlist = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        structs.append(
+            f"{{'s': len(list_filter(toks, "
+            f"t -> list_contains({mlist}, t))), 'ni': {-idx}}}"
+        )
+    langs = "[" + ", ".join(f"'{lang}'" for lang, _ in LANG_MARKERS) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_max([{", ".join(structs)}]) AS best FROM t)
+SELECT doc_id,
+  CASE WHEN best.s <= 0 THEN 'und'
+       ELSE ({langs})[-best.ni + 1] END AS pred_lang,
+  CAST(best.s AS BIGINT) AS marker_hits
+FROM s
+"""
+
+
+def oracle_doc_fingerprint(d: str) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks,
+        t -> ('0x'||substr(md5(t),1,8))::BIGINT % {MERSENNE31})),
+    (a, h) -> (a * {ROLL_BASE} + h) % {MERSENNE31}) AS fingerprint,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS vocab_size
+FROM t
+"""
+
+
+def oracle_doc_simhash(d: str) -> str:
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"coalesce(list_aggregate(list_transform(hs, "
+            f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END), "
+            f"'sum'), 0)"
+        )
+        bit_terms.append(
+            f"(CASE WHEN {vote} > 0 THEN CAST({2 ** j} AS BIGINT) "
+            f"ELSE 0 END)"
+        )
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {_shingle_hashes_sql()} AS hs FROM t)
+SELECT doc_id,
+  {" + ".join(bit_terms)} AS simhash,
+  CAST(len(hs) AS BIGINT) AS n_shingles
+FROM h
+"""
+
+
+def oracle_doc_exact_dups(d: str) -> str:
+    return f"""
+WITH t AS (SELECT doc_id,
+  md5(coalesce(list_aggregate({TOKS}, 'string_agg', ' '), ''))
+    AS content_hash FROM documents),
+r AS (SELECT content_hash, doc_id,
+  row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+  count(*) OVER (PARTITION BY content_hash) AS total FROM t)
+SELECT content_hash, CAST(max(total) AS BIGINT) AS n_docs,
+  string_agg(doc_id, ',' ORDER BY doc_id) AS docs
+FROM r WHERE rn <= {DUP_ROSTER_CAP}
+GROUP BY content_hash HAVING max(total) > 1
+"""
+
+
+def oracle_doc_minhash_neardups(d: str) -> str:
+    r = MINHASH_K // LSH_BANDS
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
+        f" AS sig{i}"
+        for i, (a, b) in enumerate(minhash_coeffs())
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(sig{band * r + j} AS VARCHAR)" for j in range(r)
+        )
+        band_selects.append(
+            f"SELECT doc_id, hs, {band} AS band, md5({key}) AS bkey FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {_shingle_hashes_sql()} AS hs FROM t),
+sigs AS (SELECT doc_id, hs, {sig_cols} FROM h WHERE len(hs) > 0),
+banded AS ({banded}),
+capped AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id)
+    AS rn FROM banded) WHERE rn <= {LSH_BUCKET_CAP}),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+scored AS (SELECT p.doc_a, p.doc_b,
+  round(len(list_intersect(ha.hs, hb.hs))
+        / greatest(len(list_distinct(list_concat(ha.hs, hb.hs))), 1), 6)
+    AS jaccard
+  FROM pairs p
+  JOIN h ha ON ha.doc_id = p.doc_a
+  JOIN h hb ON hb.doc_id = p.doc_b)
+SELECT * FROM scored WHERE jaccard >= {NEARDUP_JACCARD}
+"""
+
+
+def _dot_sql(a: str, b_literal_or_col: str) -> str:
+    """Sequential left-to-right double dot product (matches Spark's
+    aggregate-over-zip_with fold order)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b_literal_or_col}[i]::DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_NORM_CTE = f"""
+base AS (SELECT vec_id, embedding,
+  sqrt({_dot_sql("embedding", "embedding")}) AS norm
+  FROM embeddings)
+"""
+
+
+def oracle_emb_knn_brute(d: str) -> str:
+    return f"""
+WITH {_NORM_CTE},
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+      FROM base WHERE vec_id % {KNN_QUERY_MOD} = 0),
+scored AS (SELECT q.q_id, c.vec_id AS n_id,
+  round({_dot_sql("q.q_emb", "c.embedding")}
+        / greatest(q.q_norm * c.norm, 1e-12), 6) AS score
+  FROM q JOIN base c ON q.q_id <> c.vec_id),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _bucket_sql() -> str:
+    terms = []
+    for p, plane in enumerate(ann_planes()):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN {_dot_sql('embedding', lit)} > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def oracle_emb_ann_lsh(d: str) -> str:
+    return f"""
+WITH {_NORM_CTE},
+bucketed AS (SELECT vec_id, embedding, norm,
+  {_bucket_sql()} AS bucket FROM base),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm, bucket
+      FROM bucketed WHERE vec_id % {KNN_QUERY_MOD} = 0),
+scored AS (SELECT q.q_id, q.bucket, c.vec_id AS n_id,
+  round({_dot_sql("q.q_emb", "c.embedding")}
+        / greatest(q.q_norm * c.norm, 1e-12), 6) AS score
+  FROM q JOIN bucketed c ON q.bucket = c.bucket AND q.q_id <> c.vec_id),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, CAST(bucket AS BIGINT) AS bucket,
+  CAST(rank AS BIGINT) AS rank, n_id, score
+FROM ranked WHERE rank <= {KNN_K}
+"""

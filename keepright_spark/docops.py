@@ -1,0 +1,534 @@
+"""Training-data-pipeline operators over the driver's ``documents``
+and ``embeddings`` tables (TESTDATA.md: ``{sf}/documents.parquet`` =
+(doc_id, text, lang, source, n_chars); ``{sf}/embeddings.parquet`` =
+(vec_id, embedding: array<float> x64, label)).
+
+These are the operators a 100 TB training-data pipeline runs beside
+the spatial checks: exact + near dedup, content fingerprinting, text
+quality analysis, and similarity search.  Everything here is native
+``pyspark.sql.functions`` — no Python UDFs anywhere — so the whole
+family stays inside whole-stage codegen and scales by partition count.
+
+Cross-engine determinism (each operator has a DuckDB oracle in
+``oracles.py``):
+
+* 32-bit string hash = first 8 hex chars of md5, identical in Spark
+  (``conv(substring(md5(x),1,8),16,10)``) and DuckDB
+  (``('0x'||substr(md5(x),1,8))::BIGINT``);
+* MinHash permutations / SimHash planes / LSH hyperplanes are small
+  integer coefficient tables generated once in Python (seeded, from
+  md5) and embedded as literals in BOTH the Spark plan and the oracle
+  SQL, so there is no cross-engine RNG to disagree;
+* modular arithmetic stays below 2^62 (coefficients < 2^31, hashes
+  reduced mod the Mersenne prime first), so BIGINT/long never wrap;
+* floating-point scores are rounded (6 dp) before ranking, with a
+  deterministic id tie-break, so double-precision ulps can't flip
+  cross-engine row order.
+
+Scale shapes (the 100 TB contract):
+
+* dedup/near-dup group by a bounded key (hash / (band, bucket)) —
+  never all-pairs; hot buckets are capped (``LSH_BUCKET_CAP``) the
+  same way ``spatial.refine_hot_cells`` caps hot tiles, and every
+  per-group roster is top-K-bounded like ``media.media_dup_refs``;
+* the kNN query side is a small fixed subset → broadcast join against
+  the full vector table, which partitions by file splits;
+* per-doc operators (stats, fingerprint, simhash, langid) are
+  embarrassingly parallel single-pass scans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared deterministic coefficient tables (mirrored into the oracles)
+# ---------------------------------------------------------------------------
+
+MERSENNE31 = 2147483647  # minhash / rolling-hash modulus
+SHINGLE_K = 3  # word shingle width
+MINHASH_K = 16  # permutations
+LSH_BANDS = 4  # bands of MINHASH_K // LSH_BANDS rows
+NEARDUP_JACCARD = 0.32  # exact-verify threshold on shingle sets
+LSH_BUCKET_CAP = 64  # max docs considered per (band, bucket)
+DUP_ROSTER_CAP = 20  # doc sample per exact-dup group
+ROLL_BASE = 131  # rolling-hash base
+SIMHASH_BITS = 32
+EMB_DIM = 64
+ANN_PLANES = 8  # random-hyperplane LSH bits
+KNN_K = 5
+KNN_QUERY_MOD = 25  # queries = vec_id % KNN_QUERY_MOD == 0
+
+
+def _h32_int(s: str) -> int:
+    """Python twin of the Spark/DuckDB 32-bit md5 prefix hash."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def minhash_coeffs() -> list[tuple[int, int]]:
+    """(a, b) per permutation; a in [1, p-1], b in [0, p-1]."""
+    out = []
+    for i in range(MINHASH_K):
+        a = _h32_int(f"minhash_a_{i}") % (MERSENNE31 - 1) + 1
+        b = _h32_int(f"minhash_b_{i}") % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def ann_planes() -> list[list[int]]:
+    """ANN_PLANES x EMB_DIM integer hyperplanes in [-1000, 1000]."""
+    return [
+        [(_h32_int(f"plane_{p}_{j}") % 2001) - 1000 for j in range(EMB_DIM)]
+        for p in range(ANN_PLANES)
+    ]
+
+
+STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+]
+
+# deterministic language-marker table (index order = tie-break order)
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("de", ["der", "die", "das", "und", "nicht", "mit"]),
+    ("en", ["the", "and", "of", "is", "to", "a"]),
+    ("es", ["el", "la", "los", "que", "y", "de"]),
+    ("fr", ["le", "la", "les", "et", "que", "une"]),
+    ("zh", ["de", "shi", "bu", "le", "zai", "wo"]),
+]
+
+
+# ---------------------------------------------------------------------------
+# inputs
+# ---------------------------------------------------------------------------
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# token array: lowercase, split on non-alphanumeric, drop empties
+def _tokens(col):
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def _h32(col):
+    """32-bit unsigned hash of a string column (md5 hex prefix)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def _shingle_hashes(tok_col):
+    """Distinct 32-bit hashes of the SHINGLE_K-word shingles, reduced
+    mod MERSENNE31 (keeps all later modular products < 2^62)."""
+    k = SHINGLE_K
+    shingles = F.when(
+        F.size(tok_col) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok_col, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = F.transform(
+        shingles,
+        lambda s: F.conv(
+            F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10
+        ).cast("long")
+        % MERSENNE31,
+    )
+    return F.array_sort(F.array_distinct(hashed))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality metrics: token/char counts, punctuation /
+    stopword / uppercase ratios, and a deterministic quality score.
+
+    Single-pass narrow scan — partitions by file split, no shuffle.
+    """
+    toks = _tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    n_upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    upper_ratio = F.round(n_upper / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+    # bounded-length + low-punct + some-stopwords heuristic, mirrors
+    # the C4/GPT-style quality filters a pretraining pipeline applies
+    quality = F.round(
+        F.when((n_tokens >= 10) & (n_tokens <= 1000), F.lit(1.0)).otherwise(0.0)
+        * (1.0 - F.least(punct_ratio * 4, F.lit(1.0)))
+        * (0.5 + F.least(stop_ratio * 5, F.lit(0.5))),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        quality.alias("quality"),
+    )
+
+
+def doc_langid(docs: DataFrame) -> DataFrame:
+    """Marker-word language guess with deterministic tie-breaks.
+
+    Scores each language by marker-token occurrences; argmax prefers
+    the LANG_MARKERS table order on ties; all-zero scores → 'und'.
+    Pure map-side — no shuffle.
+    """
+    toks = _tokens(F.col("text"))
+    scored = []
+    for idx, (lang, markers) in enumerate(LANG_MARKERS):
+        score = F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in markers]))
+        )
+        # struct comparison is field-order lexicographic in both
+        # engines: (score, -idx) picks highest score, then lowest idx
+        scored.append(F.struct(score.alias("s"), F.lit(-idx).alias("ni")))
+    best = F.array_max(F.array(*scored))
+    langs = F.array(*[F.lit(lang) for lang, _ in LANG_MARKERS])
+    pred = F.when(best["s"] <= 0, F.lit("und")).otherwise(
+        F.element_at(langs, -best["ni"] + 1)
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best["s"].cast("long").alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over the token stream (Rabin-Karp:
+    acc = acc*B + h(tok) mod p) plus the token-set cardinality —
+    an order-sensitive content fingerprint.  Map-side only."""
+    toks = _tokens(F.col("text"))
+    tok_hashes = F.transform(
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(F.encode(t, "UTF-8")), 1, 8), 16, 10
+        ).cast("long")
+        % MERSENNE31,
+    )
+    rolling = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLL_BASE + h) % MERSENNE31,
+    )
+    return docs.select(
+        "doc_id",
+        rolling.alias("fingerprint"),
+        F.size(F.array_distinct(toks)).cast("long").alias("vocab_size"),
+    )
+
+
+def doc_simhash(docs: DataFrame) -> DataFrame:
+    """SIMHASH_BITS-bit SimHash over the distinct shingle hashes: bit
+    j is the sign of Σ±1 over shingles, +1 when shingle-hash bit j is
+    set.  Near-identical docs land within a small Hamming distance.
+    Map-side only; O(bits × shingles) per doc, partition-local."""
+    hs = _shingle_hashes(_tokens(F.col("text")))
+
+    def _vote(bit: int):
+        # helper (not a default-arg lambda): F.aggregate passes one
+        # Column per lambda parameter, so extra params break
+        return F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, bit).bitwiseAND(1) == 1, 1
+            ).otherwise(-1),
+        )
+
+    bits = []
+    for j in range(SIMHASH_BITS):
+        vote = _vote(j)
+        bits.append(
+            F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0))
+        )
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return docs.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.size(hs).cast("long").alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def doc_exact_dups(docs: DataFrame) -> DataFrame:
+    """Exact dedup on the md5 of normalized text (lowercase tokens
+    re-joined): hash-shuffle on the digest, groups are tiny by
+    construction.  Roster capped like media.media_dup_refs."""
+    norm = F.concat_ws(" ", _tokens(F.col("text")))
+    keyed = docs.select(
+        F.md5(F.encode(norm, "UTF-8")).alias("content_hash"), "doc_id"
+    )
+    part = Window.partitionBy("content_hash")
+    ranked = keyed.withColumn(
+        "_rn", F.row_number().over(part.orderBy("doc_id"))
+    ).withColumn("_total", F.count(F.lit(1)).over(part))
+    return (
+        ranked.filter(F.col("_rn") <= DUP_ROSTER_CAP)
+        .groupBy("content_hash")
+        .agg(
+            F.max("_total").cast("long").alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "docs"
+            ),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """doc_id, shingle-hash set, MINHASH_K minhash signature values."""
+    hs = _shingle_hashes(_tokens(F.col("text")))
+    base = docs.select("doc_id", hs.alias("hs")).filter(F.size("hs") > 0)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: (a * h + b) % MERSENNE31)
+        ).alias(f"sig{i}")
+        for i, (a, b) in enumerate(minhash_coeffs())
+    ]
+    return base.select("doc_id", "hs", *sig_cols)
+
+
+def doc_minhash_neardups(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verify.
+
+    candidate generation: MINHASH_K minhash signature → LSH_BANDS
+    band keys (md5 of the band's sig slice) → docs sharing a band key
+    become candidate pairs.  The band join is keyed (band, bucket) —
+    never all-pairs — and a hot bucket is capped at LSH_BUCKET_CAP
+    docs (deterministic doc_id order), the textual twin of
+    spatial.refine_hot_cells' hot-tile cap.
+    verify: exact shingle-set Jaccard ≥ NEARDUP_JACCARD via
+    array_intersect/array_union on the (distinct, sorted) hash sets.
+
+    At 100 TB the flow is: 1 scan + signature (map-side), explode ×
+    LSH_BANDS (linear), hash-shuffle on (band, key), within-bucket
+    pair join bounded by the cap² — the canonical scalable near-dup
+    shape (Broder MinHash + banding).
+    """
+    r = MINHASH_K // LSH_BANDS
+    sigs = _minhash_sigs(docs)
+    band_rows = []
+    for band in range(LSH_BANDS):
+        key = F.md5(
+            F.encode(
+                F.concat_ws(
+                    "_", *[F.col(f"sig{band * r + j}") for j in range(r)]
+                ),
+                "UTF-8",
+            )
+        )
+        band_rows.append(
+            sigs.select(
+                "doc_id", "hs", F.lit(band).alias("band"), key.alias("bkey")
+            )
+        )
+    banded = band_rows[0]
+    for bdf in band_rows[1:]:
+        banded = banded.unionByName(bdf)
+    w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= LSH_BUCKET_CAP
+    )
+    left = capped.select("band", "bkey", F.col("doc_id").alias("doc_a"),
+                         F.col("hs").alias("hs_a"))
+    right = capped.select("band", "bkey", F.col("doc_id").alias("doc_b"),
+                          F.col("hs").alias("hs_b"))
+    pairs = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hs_a", "hs_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NEARDUP_JACCARD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _with_norm(emb: DataFrame) -> DataFrame:
+    dot_self = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select("vec_id", "embedding", F.sqrt(dot_self).alias("norm"))
+
+
+def _cosine(a, b, norm_a, norm_b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / F.greatest(norm_a * norm_b, F.lit(1e-12))
+
+
+def emb_knn_brute(emb: DataFrame) -> DataFrame:
+    """Brute-force cosine top-K: the query subset (vec_id %
+    KNN_QUERY_MOD == 0) broadcast-joins the full table; rank on the
+    6-dp-rounded score with a vec_id tie-break (float-ulp safe).
+
+    Scale shape: queries are the small side (broadcast), candidates
+    partition by file split; per-partition partial top-K via the
+    window is the textbook distributed brute-force kNN baseline.
+    """
+    base = _with_norm(emb)
+    q = base.filter((F.col("vec_id") % KNN_QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cand = base.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _cosine(
+                    F.col("q_emb"), F.col("n_emb"),
+                    F.col("q_norm"), F.col("n_norm"),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "n_id",
+                "score")
+    )
+
+
+def _bucket_expr():
+    """Random-hyperplane LSH bucket id from ANN_PLANES sign bits.
+
+    The integer hyperplanes are literals generated by ann_planes()
+    (seeded md5), identical in the oracle SQL.
+    """
+    bucket = F.lit(0)
+    for p, plane in enumerate(ann_planes()):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket
+
+
+def emb_ann_lsh(emb: DataFrame) -> DataFrame:
+    """LSH-bucketed approximate kNN: sign-random-projection buckets
+    (ANN_PLANES bits), then exact cosine top-K *within the query's
+    bucket*.  Same query subset and ranking rule as the brute-force
+    baseline, so recall is directly measurable against it.
+
+    Scale shape: bucket assignment is map-side; the candidate join is
+    hash-shuffled on the bucket id (2^ANN_PLANES buckets), never
+    all-pairs.  Production variants re-probe neighboring buckets for
+    recall; bucket id is exposed so that extension stays cheap.
+    """
+    base = _with_norm(emb).withColumn("bucket", _bucket_expr())
+    q = base.filter((F.col("vec_id") % KNN_QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "bucket",
+    )
+    cand = base.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "bucket",
+            "n_id",
+            F.round(
+                _cosine(
+                    F.col("q_emb"), F.col("n_emb"),
+                    F.col("q_norm"), F.col("n_norm"),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("bucket").cast("long").alias("bucket"),
+                F.col("rank").cast("long").alias("rank"), "n_id", "score")
+    )

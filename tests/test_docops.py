@@ -1,0 +1,80 @@
+"""docops operators vs their DuckDB oracles on the driver's
+documents/embeddings testdata (sf0.001)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from keepright_spark import doc_oracles, docops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    return con
+
+
+def _norm(df):
+    df = df.reindex(sorted(df.columns), axis=1).astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entry.DOC_QUERIES))
+def test_docop_matches_oracle(spark, oracle_con, name):
+    loader, fn, oname = entry.DOC_QUERIES[name]
+    got = fn(loader(spark, SF_DIR)).toPandas()
+    exp = oracle_con.sql(getattr(doc_oracles, oname)("ignored")).df()
+    assert list(sorted(got.columns)) == list(sorted(exp.columns))
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert _norm(got).equals(_norm(exp)), name
+
+
+def test_neardup_pairs_are_verified(spark):
+    df = docops.doc_minhash_neardups(docops.documents(spark, SF_DIR)).toPandas()
+    assert (df["jaccard"] >= docops.NEARDUP_JACCARD).all()
+    assert (df["doc_a"] < df["doc_b"]).all()
+    # the driver's synthetic corpus plants near-duplicates
+    assert len(df) > 0
+
+
+def test_ann_recall_vs_brute(spark):
+    emb = docops.embeddings(spark, SF_DIR)
+    brute = docops.emb_knn_brute(emb).toPandas()
+    ann = docops.emb_ann_lsh(emb).toPandas()
+    b = set(zip(brute.q_id, brute.n_id))
+    a = set(zip(ann.q_id, ann.n_id))
+    # LSH restricts candidates to the query's bucket: every ANN hit at
+    # rank<=K is a true neighbor pair within the bucket; recall vs
+    # brute is the quality metric (sign-LSH with 8 planes on random
+    # vectors is a weak but non-degenerate filter)
+    assert len(a) > 0
+    recall = len(a & b) / len(b)
+    assert recall > 0.02, recall
+
+
+def test_docops_plans_are_native(spark):
+    """No row-at-a-time Python anywhere in the docops plan family."""
+    for name, (loader, fn, _o) in entry.DOC_QUERIES.items():
+        plan = fn(loader(spark, SF_DIR))._jdf.queryExecution().executedPlan()
+        txt = plan.toString()
+        assert "BatchEvalPython" not in txt, name
+        assert "ArrowEvalPython" not in txt, name
+
+
+def test_knn_plan_broadcasts_queries(spark):
+    plan = docops.emb_knn_brute(
+        docops.embeddings(spark, SF_DIR)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
