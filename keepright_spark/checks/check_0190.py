@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from ..codec import OsmViews
 from ..errors import finish_errors
 from ..lib import way_layers
+from ..lib import stable_checkpoint
 from ..mercator import R_MAJOR, _RAD2DEG, merc_lat_udf
 from ..spatial import bbox_cells, way_segments
 
@@ -281,8 +282,8 @@ def run(v: OsmViews) -> DataFrame:
             "tile", "w1", "w2", "t1", "t2", "kind", "px", "py", "qx", "qy", "olen"
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    geom = stable_checkpoint(geom)
 
     # --- per-pair classification -------------------------------------
     m1 = meta.select(

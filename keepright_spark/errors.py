@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from .codec import OsmViews
 from .tiling import Tile, clip_errors
+from .lib import stable_checkpoint
 
 TXT_COLS = ["txt1", "txt2", "txt3", "txt4", "txt5"]
 ERROR_COLS = [
@@ -218,7 +219,7 @@ def resolve_locations(
         "tile", "relation_id", F.col("member_id").alias("child_id"), "sequence_id"
     )
     if rel_member_rel.limit(1).count() > 0:
-        rel_loc = rel_loc.localCheckpoint(eager=True)
+        rel_loc = stable_checkpoint(rel_loc)
         for _ in range(100):
             nested = (
                 rel_member_rel.join(
@@ -238,12 +239,12 @@ def resolve_locations(
                 .filter(F.col("_rn") == 1)
                 .select("tile", F.col("relation_id").alias("object_id"), "lat", "lon")
             )
-            frontier = nested.join(
-                rel_loc, ["tile", "object_id"], "left_anti"
-            ).localCheckpoint(eager=True)
+            frontier = stable_checkpoint(
+                nested.join(rel_loc, ["tile", "object_id"], "left_anti")
+            )
             if frontier.count() == 0:
                 break
-            rel_loc = rel_loc.unionByName(frontier).localCheckpoint(eager=True)
+            rel_loc = stable_checkpoint(rel_loc.unionByName(frontier))
     parts.append(
         no_ll.filter(F.col("object_type") == "relation").join(
             rel_loc, ["tile", "object_id"], "inner"

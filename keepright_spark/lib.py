@@ -15,6 +15,24 @@ from .codec import OsmViews
 FALSY = ["no", "false", "0"]  # the reference's NOT IN ('no','false','0')
 
 
+def stable_checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage at an iteration/reuse point, cluster-safely.
+
+    ``localCheckpoint`` stores blocks on the executors that computed
+    them: on a real cluster one executor loss makes the truncated
+    lineage unrecoverable and fails the job.  When a reliable
+    checkpoint dir is configured (``setCheckpointDir`` — HDFS/S3 in
+    production, any shared path; wired from ``KR_CHECKPOINT_DIR`` by
+    session.get_spark), use a reliable ``checkpoint`` instead; in
+    this sandbox's single-JVM local mode, executor loss == driver
+    loss, so localCheckpoint is equivalent and avoids the write.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def html_escape(col: Column) -> Column:
     """php htmlspecialchars twin (helpers.php:435-443): replace
     & ' " < > in exactly that order."""

@@ -76,7 +76,7 @@ def err_select(
 # insert-ignore winner: lexicographically smallest payload, NULLS
 # FIRST) + errors.resolve_locations (node → own coords, way → first
 # node, relation → pinned member choice).
-_FINALIZE = """
+_FINALIZE_HEAD = """
 err_dedup AS (
     SELECT * EXCLUDE (rn) FROM (
         SELECT e.*, ROW_NUMBER() OVER (
@@ -113,23 +113,24 @@ rel_loc_d0 AS MATERIALIZED (
     WHERE NOT EXISTS (SELECT 1 FROM rel_node_loc n
                       WHERE n.tile=w.tile AND n.relation_id=w.relation_id)
 ),
-""" + "".join(
-    f"""rel_loc_d{d} AS MATERIALIZED (
-    SELECT * FROM rel_loc_d{d - 1}
+"""
+
+_REL_LOC_STEP = """rel_loc_d{d} AS MATERIALIZED (
+    SELECT * FROM rel_loc_d{p}
     UNION ALL
     SELECT m.tile, m.relation_id,
            arg_min(c.lat, m.sequence_id) AS lat,
            arg_min(c.lon, m.sequence_id) AS lon
     FROM relation_members m
-    JOIN rel_loc_d{d - 1} c ON m.member_type='R' AND m.tile=c.tile
+    JOIN rel_loc_d{p} c ON m.member_type='R' AND m.tile=c.tile
                           AND m.member_id=c.relation_id
-    WHERE NOT EXISTS (SELECT 1 FROM rel_loc_d{d - 1} p
+    WHERE NOT EXISTS (SELECT 1 FROM rel_loc_d{p} p
                       WHERE p.tile=m.tile AND p.relation_id=m.relation_id)
     GROUP BY m.tile, m.relation_id
 ),
 """
-    for d in range(1, 11)
-) + """rel_loc AS (SELECT * FROM rel_loc_d10),
+
+_FINALIZE_TAIL = """rel_loc AS (SELECT * FROM rel_loc_d{last}),
 resolved AS (
     SELECT e.tile, e.error_type, e.object_type, e.object_id,
            CAST(ROUND(COALESCE(e.lat_d, 1e7 * COALESCE(n.lat, w.first_node_lat, r.lat))) AS BIGINT) AS lat,
@@ -152,9 +153,80 @@ WHERE r.lat IS NOT NULL AND r.lon IS NOT NULL
 """
 
 
+_DEPTH_CACHE: dict[str, int] = {}
+
+
+def _rel_loc_depth(d: str) -> int:
+    """How far the rel_loc chain must unroll for THIS dataset.
+
+    The engine recurses member-relation location descent to depth 100
+    (errors.py, mirroring helpers.php's depth brake).  Unrolling 100
+    materialized CTEs into every oracle would swamp DuckDB's planner,
+    so compute the dataset's true fixpoint depth once (python BFS over
+    the relation->relation member edges, seeded by relations locatable
+    from a node/way member) and unroll exactly that far, capped at the
+    engine's 100.  Identical semantics for any nesting <= 100; beyond
+    100 both sides deliberately leave the relation unlocated.
+    """
+    if d in _DEPTH_CACHE:
+        return _DEPTH_CACHE[d]
+    import duckdb
+
+    con = duckdb.connect()
+    base = set(
+        con.sql(
+            f"""
+        SELECT DISTINCT m.tile, m.relation_id
+        FROM read_parquet('{d}/oracle/relation_members.parquet') m
+        JOIN read_parquet('{d}/oracle/nodes.parquet') n
+          ON m.member_type='N' AND m.tile=n.tile AND m.member_id=n.id
+        UNION
+        SELECT DISTINCT m.tile, m.relation_id
+        FROM read_parquet('{d}/oracle/relation_members.parquet') m
+        JOIN read_parquet('{d}/oracle/way_nodes.parquet') wn
+          ON m.member_type='W' AND m.tile=wn.tile AND m.member_id=wn.way_id
+        WHERE wn.lat IS NOT NULL
+        """
+        ).fetchall()
+    )
+    edges = con.sql(
+        f"""
+        SELECT tile, relation_id, member_id
+        FROM read_parquet('{d}/oracle/relation_members.parquet')
+        WHERE member_type='R'
+        """
+    ).fetchall()
+    parents: dict[tuple, list] = {}
+    for tile, parent, child in edges:
+        parents.setdefault((tile, child), []).append((tile, parent))
+    located, frontier, depth = set(base), set(base), 0
+    while frontier and depth < 100:
+        new = set()
+        for key in frontier:
+            for p in parents.get(key, ()):  # noqa: B007
+                if p not in located:
+                    new.add(p)
+        if not new:
+            break
+        located |= new
+        frontier = new
+        depth += 1
+    depth = max(depth, 1)
+    _DEPTH_CACHE[d] = depth
+    return depth
+
+
+def _finalize(d: str) -> str:
+    last = _rel_loc_depth(d)
+    steps = "".join(
+        _REL_LOC_STEP.format(d=i, p=i - 1) for i in range(1, last + 1)
+    )
+    return _FINALIZE_HEAD + steps + _FINALIZE_TAIL.format(last=last)
+
+
 def wrap(d: str, body_ctes: str) -> str:
     """WITH <views>, <body ctes ending in err>, <finalize>."""
-    return f"WITH {preamble(d)},\n{body_ctes},\n{_FINALIZE}"
+    return f"WITH {preamble(d)},\n{body_ctes},\n{_finalize(d)}"
 
 
 # ---------------------------------------------------------------------------
@@ -1941,7 +2013,7 @@ err AS (
         WHERE r.tile=s.tile AND r.rule_id=s.rule_id AND r.sw=s.sw
           AND r.node_id=s.last_node_id)
 )"""
-    return f"WITH RECURSIVE {preamble(d)},\n{body},\n{_FINALIZE}"
+    return f"WITH RECURSIVE {preamble(d)},\n{body},\n{_finalize(d)}"
 
 
 def oracle_0130(d: str) -> str:
@@ -2038,7 +2110,7 @@ err AS (
     WHERE NOT EXISTS (SELECT 1 FROM connector c WHERE c.tile=e.tile
                       AND c.way_id=e.way_id)
 )"""
-    return f"WITH RECURSIVE {preamble(d)},\n{body},\n{_FINALIZE}"
+    return f"WITH RECURSIVE {preamble(d)},\n{body},\n{_finalize(d)}"
 
 
 def oracle_0310(d: str) -> str:

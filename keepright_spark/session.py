@@ -67,4 +67,14 @@ def get_spark(
     )
     for k, vv in (extra_conf or {}).items():
         b = b.config(k, vv)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # Reliable checkpoint dir for lineage-truncation points
+    # (lib.stable_checkpoint): on a cluster this must be shared
+    # storage (HDFS/S3) so an executor loss can't orphan the
+    # truncated lineage; unset, the engine falls back to
+    # localCheckpoint (single-JVM local mode, where executor loss
+    # and driver loss coincide).
+    ckpt = os.environ.get("KR_CHECKPOINT_DIR")
+    if ckpt and not spark.sparkContext.getCheckpointDir():
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

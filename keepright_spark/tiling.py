@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .codec import OsmViews
+from .lib import stable_checkpoint
 from .mercator import merc_lat, merc_lon, merc_x, merc_y
 
 
@@ -186,7 +187,7 @@ def assign_tiles(
     )
     has_nested = rm_nested.limit(1).count() > 0
     if has_nested:
-        rel_tile = rel_tile.localCheckpoint(eager=True)
+        rel_tile = stable_checkpoint(rel_tile)
         for _ in range(max_relation_depth):
             grown = (
                 rm_nested.join(
@@ -195,11 +196,11 @@ def assign_tiles(
                 .select(F.col("relation_id").alias("id"), "tile")
                 .distinct()
                 .join(rel_tile, ["id", "tile"], "left_anti")
-                .localCheckpoint(eager=True)
             )
+            grown = stable_checkpoint(grown)
             if grown.count() == 0:
                 break
-            rel_tile = rel_tile.unionByName(grown).localCheckpoint(eager=True)
+            rel_tile = stable_checkpoint(rel_tile.unionByName(grown))
 
     relations = views.relations.join(rel_tile, "id")
     local_objs = local_n.unionByName(local_w).unionByName(

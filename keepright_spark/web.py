@@ -148,10 +148,47 @@ def _tab_safe(c: Column) -> Column:
 
 def points_rows(published: DataFrame, lat: float, lon: float,
                 error_types: list[int] | None = None,
-                limit: int = 350) -> DataFrame:
+                limit: int = 350,
+                comments: DataFrame | None = None,
+                show_ign: bool = False,
+                show_tmpign: bool = False) -> DataFrame:
     """The web/points.php row frame: nearest ``limit`` errors with
-    rendered description, icon and partner objects."""
+    rendered description, icon and partner objects.
+
+    With ``comments``, the read folds comment state exactly like
+    points.php:65-79: ``state = COALESCE(c.state, e.state)``, the
+    comment text rides along, and the ``show_ign`` / ``show_tmpign``
+    flags filter on the *comment* state (``c.state IS NULL OR
+    c.state <> 'ignore'[_temporarily]``) BEFORE the nearest-350 cut —
+    so with the flags on, ignored errors surface with the angel/devil
+    icons of points.php:93-102."""
     from .export import viewport_query
+
+    if comments is not None:
+        c = comments.select(
+            "tile",
+            "error_id",
+            F.col("state").alias("_cstate"),
+            F.col("comment").alias("comment"),
+        )
+        published = (
+            published.join(c, ["tile", "error_id"], "left")
+            .withColumn("state", F.coalesce(F.col("_cstate"), F.col("state")))
+        )
+        if not show_ign:
+            published = published.filter(
+                F.col("_cstate").isNull() | (F.col("_cstate") != "ignore")
+            )
+        if not show_tmpign:
+            published = published.filter(
+                F.col("_cstate").isNull()
+                | (F.col("_cstate") != "ignore_temporarily")
+            )
+        published = published.drop("_cstate")
+    else:
+        published = published.withColumn(
+            "comment", F.lit(None).cast("string")
+        )
 
     df = viewport_query(published, lat, lon, error_types, limit)
     df = render_description(df, hyperlinks=True)
@@ -173,6 +210,7 @@ def points_rows(published: DataFrame, lat: float, lon: float,
         F.col("tile").alias("schema"),
         "error_id",
         _tab_safe(F.col("description")).alias("description"),
+        _tab_safe(F.coalesce(F.col("comment"), F.lit(""))).alias("comment"),
         F.replace(
             F.replace(F.col("state"), F.lit("\t"), F.lit(" ")),
             F.lit("ignore_temporarily"), F.lit("ignore_t"),

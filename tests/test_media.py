@@ -35,24 +35,46 @@ def test_decode_plumbing(spark, tiny_dir):
     with pytest.raises(Exception, match="NotImplementedError|media byte"):
         media.decode_media(tm).collect()
 
-    # a plugged-in decoder flows through the same mapInPandas plumbing
+    # a plugged-in decoder flows through the same mapInPandas
+    # plumbing.  The fake codec is *content-derived* (deterministic
+    # bytes -> width/height/feature via md5), so the end-to-end path —
+    # Arrow batch in, DECODED_SCHEMA batch out, per-row values — is
+    # exercised exactly as a real image decoder would be.
+    import hashlib
+
+    def _decode_one(ref):
+        h = hashlib.md5((ref or "").encode()).digest()
+        return (
+            h[0] % 512 + 1,  # width
+            h[1] % 512 + 1,  # height
+            h[2] % 8 + 1,  # n_frames
+            [round(b / 255.0, 6) for b in h[3:7]],  # feature
+        )
+
     def fake_decoder(pdf):
         import pandas as pd
 
+        decoded = [_decode_one(r) for r in pdf["media_ref"]]
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_ref": pdf["media_ref"],
                 "mime": pdf["mime"],
-                "width": 64,
-                "height": 64,
-                "n_frames": 1,
-                "feature": [[0.0, 1.0]] * len(pdf),
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_frames": [d[2] for d in decoded],
+                "feature": [d[3] for d in decoded],
             }
         )
 
     out = media.decode_media(tm, fake_decoder)
     rows = out.collect()
     assert len(rows) == 20
-    assert rows[0]["feature"] == [0.0, 1.0]
     assert dict(out.dtypes)["feature"] == "array<float>"
+    # per-row values survive the Arrow round-trip bit-exactly
+    for r in rows:
+        w, h, nf, feat = _decode_one(r["media_ref"])
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert [round(x, 6) for x in r["feature"]] == [
+            round(float(__import__("numpy").float32(v)), 6) for v in feat
+        ]

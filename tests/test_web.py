@@ -74,6 +74,55 @@ def test_points_rows(spark):
     assert abs(r["lat"] - 48.01) < 1e-6
 
 
+def test_points_rows_comment_fold(spark):
+    """points.php:65-102 end-to-end: comment state folds via
+    COALESCE, show_ign/show_tmpign gate on the *comment* state, and
+    folded states render the angel/devil icons."""
+    from keepright_spark import comments as cm
+
+    pub = _published(
+        spark,
+        [
+            ("A1", 1, 20, "node", 5, 480100000, 162100000, "new",
+             "m", None, None, None, None, None, "dupe", "u", "t"),
+            ("A1", 2, 20, "node", 6, 480100001, 162100001, "new",
+             "m", None, None, None, None, None, "dupe", "u", "t"),
+            ("A1", 3, 20, "node", 7, 480100002, 162100002, "new",
+             "m", None, None, None, None, None, "dupe", "u", "t"),
+        ],
+    )
+    c = cm.empty_comments(spark)
+    c, hist = cm.add_comment(c, None, "A1", 1, "ignore", "bogus", 1000)
+    c, hist = cm.add_comment(c, hist, "A1", 2, "ignore_t", "later", 1001)
+
+    # default: both ignore flavors are dropped before the top-350 cut
+    rows = web.points_rows(pub, 48.01, 16.21, comments=c).collect()
+    assert [r["error_id"] for r in rows] == [3]
+    assert rows[0]["comment"] == ""
+
+    # flags on: folded states surface with angel/devil icons and the
+    # comment text; state spelling matches points.php's ignore_t
+    rows = {
+        r["error_id"]: r
+        for r in web.points_rows(
+            pub, 48.01, 16.21, comments=c, show_ign=True, show_tmpign=True
+        ).collect()
+    }
+    assert rows[1]["icon"] == "img/zapdevil.png"
+    assert rows[1]["state"] == "ignore"
+    assert rows[1]["comment"] == "bogus"
+    assert rows[2]["icon"] == "img/zapangel.png"
+    assert rows[2]["state"] == "ignore_t"
+    assert rows[2]["comment"] == "later"
+    assert rows[3]["icon"] == "img/zap20.png"
+
+    # one flag at a time gates exactly its flavor (points.php:77-78)
+    only_ign = web.points_rows(
+        pub, 48.01, 16.21, comments=c, show_ign=True
+    ).collect()
+    assert sorted(r["error_id"] for r in only_ign) == [1, 3]
+
+
 def test_gpx_rss_geojson(spark):
     df = _published(
         spark,
