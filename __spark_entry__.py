@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from keepright_spark import doc_oracles, docops
 from keepright_spark import media as media_mod
-from keepright_spark import oracles, pipeline
+from keepright_spark import oracles, pipeline, raster
 from keepright_spark.datagen import ensure_dataset, scale_for_sf_dir
 
 # checks with both a Spark implementation and a DuckDB oracle
@@ -58,6 +58,13 @@ DOC_QUERIES = {
 }
 
 
+# raster↔vector zonal join (keepright_spark.raster): the fourth
+# north-star operator family; oracle in keepright_spark.oracles
+RASTER_QUERIES = {
+    "kr_zonal_stats": (raster.zonal_stats, "oracle_zonal_stats"),
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full check suite on the tiny synthetic OSM world."""
     d = ensure_dataset("t")
@@ -80,6 +87,14 @@ def _mk_media_query(fn) -> Callable[[SparkSession, str], DataFrame]:
     return q
 
 
+def _mk_raster_query(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = ensure_dataset(scale_for_sf_dir(sf_dir))
+        return fn(spark, d)
+
+    return q
+
+
 def _mk_doc_query(loader, fn) -> Callable[[SparkSession, str], DataFrame]:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(loader(spark, sf_dir))
@@ -96,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _mk_media_query(fn)
     for name, (loader, fn, _oname) in DOC_QUERIES.items():
         out[name] = _mk_doc_query(loader, fn)
+    for name, (rfn, _oname) in RASTER_QUERIES.items():
+        out[name] = _mk_raster_query(rfn)
     return out
 
 
@@ -108,4 +125,6 @@ def oracle_sql() -> dict[str, str]:
         out[name] = getattr(oracles, oname)(d)
     for name, (_loader, _fn, oname) in DOC_QUERIES.items():
         out[name] = getattr(doc_oracles, oname)(d)
+    for name, (_rfn, oname) in RASTER_QUERIES.items():
+        out[name] = getattr(oracles, oname)(d)
     return out

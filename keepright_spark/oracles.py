@@ -2598,3 +2598,53 @@ def oracle_media_integrity(d: str) -> str:
         "SELECT tile, media_ref, count(DISTINCT mime) AS nm FROM tm "
         "WHERE media_ref IS NOT NULL GROUP BY tile, media_ref) WHERE nm > 1"
     )
+
+
+def oracle_zonal_stats(d: str) -> str:
+    from .raster import RES as res, VAL_MOD as mod
+
+    # independent DuckDB twin of raster.zonal_stats: same deterministic
+    # raster lattice (md5-prefix hash, docops trick), same bbox
+    # candidate filter, same even-odd ray cast over way_node edges
+    return (
+        f"WITH {preamble(d)},\n"
+        "cells AS (SELECT t.tile, i.range AS i, j.range AS j, "
+        f"t.\"left\" + (i.range + 0.5) * (t.\"right\" - t.\"left\") / {res} "
+        "AS cx, "
+        f"t.bottom + (j.range + 0.5) * (t.top - t.bottom) / {res} AS cy, "
+        "('0x' || substr(md5('rc:' || t.tile || ':' || i.range::VARCHAR "
+        f"|| ':' || j.range::VARCHAR), 1, 8))::BIGINT % {mod} AS val "
+        f"FROM tiles t, range({res}) i, range({res}) j),\n"
+        "zones AS (SELECT w.tile, w.id AS way_id, "
+        "wt.k || '=' || wt.v AS zone_kind "
+        "FROM ways w JOIN way_tags wt ON wt.way_id = w.id "
+        "AND wt.tile = w.tile "
+        "WHERE w.first_node_id = w.last_node_id AND w.node_count >= 4 "
+        "AND wt.k IN ('landuse', 'natural', 'leisure')),\n"
+        "bbox AS (SELECT tile, way_id, min(lon) AS minx, max(lon) AS maxx, "
+        "min(lat) AS miny, max(lat) AS maxy FROM way_nodes "
+        "GROUP BY tile, way_id),\n"
+        "cand AS (SELECT z.tile, z.way_id, z.zone_kind, "
+        "c.i, c.j, c.cx, c.cy, c.val "
+        "FROM zones z JOIN bbox b ON b.tile = z.tile AND b.way_id = z.way_id "
+        "JOIN cells c ON c.tile = z.tile "
+        "WHERE c.cx >= b.minx AND c.cx <= b.maxx "
+        "AND c.cy >= b.miny AND c.cy <= b.maxy),\n"
+        "edges AS (SELECT * FROM (SELECT tile, way_id, "
+        "lon AS ax, lat AS ay, "
+        "lead(lon) OVER (PARTITION BY tile, way_id ORDER BY sequence_id) "
+        "AS bx, "
+        "lead(lat) OVER (PARTITION BY tile, way_id ORDER BY sequence_id) "
+        "AS byy FROM way_nodes) WHERE bx IS NOT NULL),\n"
+        "inside AS (SELECT c.way_id, c.zone_kind, c.tile, c.i, c.j, c.val "
+        "FROM cand c JOIN edges e ON e.tile = c.tile AND e.way_id = c.way_id "
+        "GROUP BY c.way_id, c.zone_kind, c.tile, c.i, c.j, c.val "
+        "HAVING sum(CASE WHEN ((e.ay > c.cy) != (e.byy > c.cy)) "
+        "AND c.cx < e.ax + (e.bx - e.ax) * (c.cy - e.ay) / (e.byy - e.ay) "
+        "THEN 1 ELSE 0 END) % 2 = 1)\n"
+        "SELECT way_id, zone_kind, count(*) AS n_cells, "
+        "sum(val)::BIGINT AS sum_val, "
+        "min(val) AS min_val, max(val) AS max_val, "
+        "sum(val) / count(*) AS mean_val "
+        "FROM inside GROUP BY way_id, zone_kind"
+    )

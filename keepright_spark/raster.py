@@ -1,0 +1,184 @@
+"""Raster↔vector zonal join — the fourth north-star operator family.
+
+The north star names four cell-indexed operator families: batched
+cell encode + point-in-polygon (checks 0280/0310/0360), tile-local
+kNN (0050/0270), segment-overlap joins (0190/0200) — and
+raster↔vector zonal joins for landuse/coastline-style analyses.
+This module supplies the fourth: per-zone statistics of raster cells
+covered by vector polygons (the closed, area-tagged ways of the OSM
+world).
+
+The reference repo has no raster surface, so the raster here is the
+deterministic synthetic lattice both sides derive independently: for
+every map tile a ``RES``×``RES`` grid whose cell value is the 32-bit
+md5-prefix hash of ``rc:<tile>:<i>:<j>`` mod 256 (the exact
+hash-mirroring trick of docops.py — Spark ``conv(substring(md5(…)))``
+vs DuckDB ``('0x'||substr(md5(…),1,8))::BIGINT``).  In production the
+cells would instead be scanned from an imagery/DEM store partitioned
+by the SAME tile key.
+
+Scale shape (the part that must survive 1000 executors):
+
+* cells are generated (or scanned) already keyed on ``tile`` and
+  repartitioned to the engine's shared tile hash-partitioning, so
+  every join below is co-partitioned — no global shuffle;
+* candidate generation before exact refine: cells first meet zones
+  through a tile-local bbox filter (min/max of the zone's
+  way_nodes), and only the surviving (cell, zone) candidates are
+  ray-cast against the polygon edges — the same
+  candidate→exact-refine shape as the kNN and overlap operators
+  (spatial.py);
+* the parity test is the even-odd ray cast of check_0310
+  (`_ray_cast_count`), all native column arithmetic — no Python in
+  the row path.
+
+Known bound (documented deviation, same class as tiling.py's
+relation-cycle note): a zone is joined to a tile's cells only if the
+zone intersects that tile's padded bbox (completeWays assignment), so
+a polygon strictly containing a whole tile while keeping every vertex
+farther than the margin from it would miss that tile's cells.  OSM
+landuse/leisure zones are orders of magnitude smaller than a tile;
+planet-scale deployments with continent-sized polygons would switch
+the cut to completeAreas.  The DuckDB oracle mirrors the same tile
+assignment, so the invariant is tested, not hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import pipeline
+from .docops import _h32
+from .tiling import Tile
+
+RES = 64  # raster cells per tile axis
+VAL_MOD = 256  # cell values in [0, 255]
+ZONE_KEYS = ["landuse", "natural", "leisure"]
+
+
+def raster_cells(spark: SparkSession, tiles: list[Tile],
+                 res: int = RES) -> DataFrame:
+    """(tile, i, j, cx, cy, val): the deterministic raster lattice.
+
+    Cell centers subdivide the tile bbox in lon/lat; the value is
+    h32("rc:<tile>:<i>:<j>") % VAL_MOD.  One row per cell, generated
+    natively (sequence + explode) from the small tiles frame and
+    shuffled onto the engine's tile partitioning.
+    """
+    tdf = spark.createDataFrame(
+        [(t.name, t.left, t.right, t.top, t.bottom) for t in tiles],
+        "tile string, left double, right double, top double, bottom double",
+    )
+    idx = F.sequence(F.lit(0), F.lit(res - 1))
+    return (
+        tdf.select("*", F.explode(idx).alias("i"))
+        .select("*", F.explode(idx).alias("j"))
+        .select(
+            "tile",
+            "i",
+            "j",
+            (F.col("left") + (F.col("i") + 0.5)
+             * (F.col("right") - F.col("left")) / res).alias("cx"),
+            (F.col("bottom") + (F.col("j") + 0.5)
+             * (F.col("top") - F.col("bottom")) / res).alias("cy"),
+            (_h32(F.concat_ws(
+                ":", F.lit("rc"), F.col("tile"), F.col("i"), F.col("j")
+            )) % VAL_MOD).alias("val"),
+        )
+        .repartition("tile")
+    )
+
+
+def _zones(v) -> DataFrame:
+    """(tile, way_id, zone_kind, minx..maxy): closed area-tagged ways
+    with their lon/lat bbox (candidate-generation key)."""
+    closed = v.ways.filter(
+        (F.col("first_node_id") == F.col("last_node_id"))
+        & (F.col("node_count") >= 4)
+    ).select("tile", F.col("id").alias("way_id"))
+    tags = v.way_tags.filter(F.col("k").isin(ZONE_KEYS)).select(
+        "tile", "way_id", F.concat_ws("=", "k", "v").alias("zone_kind")
+    )
+    bbox = v.way_nodes.groupBy("tile", "way_id").agg(
+        F.min("lon").alias("minx"),
+        F.max("lon").alias("maxx"),
+        F.min("lat").alias("miny"),
+        F.max("lat").alias("maxy"),
+    )
+    return closed.join(tags, ["tile", "way_id"]).join(
+        bbox, ["tile", "way_id"]
+    )
+
+
+def _zone_edges(v, zone_ids: DataFrame) -> DataFrame:
+    """Polygon edges in lon/lat from consecutive way_nodes (closed
+    ways carry their closing edge because the last node repeats the
+    first)."""
+    w = Window.partitionBy("tile", "way_id").orderBy("sequence_id")
+    return (
+        v.way_nodes.join(zone_ids, ["tile", "way_id"], "left_semi")
+        .select(
+            "tile",
+            "way_id",
+            F.col("lon").alias("ax"),
+            F.col("lat").alias("ay"),
+            F.lead("lon").over(w).alias("bx"),
+            F.lead("lat").over(w).alias("by"),
+        )
+        .filter(F.col("bx").isNotNull())
+    )
+
+
+def zonal_stats(spark: SparkSession, dataset_dir: str,
+                res: int = RES) -> DataFrame:
+    """Per-zone raster statistics: (way_id, zone_kind, n_cells,
+    sum_val, min_val, max_val, mean_val) over the cells whose center
+    lies inside the zone polygon (even-odd ray cast).
+
+    Zones spanning several tiles aggregate each tile's cells through
+    that tile's (margin-duplicated, completeWays) copy of the way;
+    cells are globally unique on (tile, i, j), so the final
+    per-way aggregation never double-counts.
+    """
+    v = pipeline.tiled_views(spark, dataset_dir)
+    tiles = pipeline.dataset_tiles(dataset_dir)
+    cells = raster_cells(spark, tiles, res)
+    zones = _zones(v)
+
+    cand = (
+        cells.join(zones, "tile")
+        .filter(
+            (F.col("cx") >= F.col("minx"))
+            & (F.col("cx") <= F.col("maxx"))
+            & (F.col("cy") >= F.col("miny"))
+            & (F.col("cy") <= F.col("maxy"))
+        )
+        .select("tile", "way_id", "zone_kind", "i", "j", "cx", "cy", "val")
+    )
+    edges = _zone_edges(v, zones.select("tile", "way_id").distinct())
+
+    # even-odd ray cast (check_0310._ray_cast_count shape): count edge
+    # crossings of the +x ray from the cell center; odd => inside
+    j = cand.join(edges, ["tile", "way_id"])
+    crossing = (
+        (F.col("ay") > F.col("cy")) != (F.col("by") > F.col("cy"))
+    ) & (
+        F.col("cx")
+        < F.col("ax")
+        + (F.col("bx") - F.col("ax"))
+        * (F.col("cy") - F.col("ay"))
+        / (F.col("by") - F.col("ay"))
+    )
+    inside = (
+        j.groupBy("tile", "way_id", "zone_kind", "i", "j", "val")
+        .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("nc"))
+        .filter(F.col("nc") % 2 == 1)
+    )
+    return inside.groupBy("way_id", "zone_kind").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("val").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        (F.sum("val") / F.count("*")).alias("mean_val"),
+    )

@@ -37,6 +37,11 @@ def test_media_vs_oracle(spark, small_dir, name):
     compare_query(spark, name, "/root/testdata/sf0.01")
 
 
+@pytest.mark.parametrize("name", sorted(entrymod.RASTER_QUERIES))
+def test_raster_vs_oracle(spark, small_dir, name):
+    compare_query(spark, name, "/root/testdata/sf0.01")
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
