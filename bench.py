@@ -70,42 +70,47 @@ LOG_DIR = "/tmp/kr_bench_logs"
 
 
 def run_suite(dataset: str, cores: int, parts: int, tag: str) -> dict:
-    """One isolated full-suite measurement (fresh JVM)."""
+    """One isolated full-suite measurement (fresh JVM); one retry so a
+    transient worker death can't sink the whole driver bench."""
     os.makedirs(LOG_DIR, exist_ok=True)
-    with open(os.path.join(LOG_DIR, f"{tag}.log"), "w") as log:
-        p = subprocess.run(
-            [
-                sys.executable,
-                "-m",
-                "keepright_spark.bench_suite",
-                dataset,
-                str(cores),
-                str(parts),
-                "8",
-            ],
-            stdout=subprocess.PIPE,
-            stderr=log,
-            env=dict(os.environ),
-            text=True,
-        )
-    if p.returncode != 0:
-        raise RuntimeError(f"bench worker {tag} rc={p.returncode}")
-    return json.loads(p.stdout.strip().splitlines()[-1])
+    for attempt in ("", "_retry"):
+        with open(os.path.join(LOG_DIR, f"{tag}{attempt}.log"), "w") as log:
+            p = subprocess.run(
+                [
+                    sys.executable,
+                    "-m",
+                    "keepright_spark.bench_suite",
+                    dataset,
+                    str(cores),
+                    str(parts),
+                    "8",
+                ],
+                stdout=subprocess.PIPE,
+                stderr=log,
+                env=dict(os.environ),
+                text=True,
+            )
+        if p.returncode == 0:
+            return json.loads(p.stdout.strip().splitlines()[-1])
+        print(f"bench worker {tag} rc={p.returncode}", file=sys.stderr)
+    raise RuntimeError(f"bench worker {tag} failed twice")
 
 
 def run_ceiling(cores: int, tag: str) -> float:
     os.makedirs(LOG_DIR, exist_ok=True)
-    with open(os.path.join(LOG_DIR, f"{tag}.log"), "w") as log:
-        p = subprocess.run(
-            [sys.executable, "-m", "keepright_spark.bench_hw", str(cores)],
-            stdout=subprocess.PIPE,
-            stderr=log,
-            env=dict(os.environ),
-            text=True,
-        )
-    if p.returncode != 0:
-        raise RuntimeError(f"ceiling worker {tag} rc={p.returncode}")
-    return json.loads(p.stdout.strip().splitlines()[-1])["wall"]
+    for attempt in ("", "_retry"):
+        with open(os.path.join(LOG_DIR, f"{tag}{attempt}.log"), "w") as log:
+            p = subprocess.run(
+                [sys.executable, "-m", "keepright_spark.bench_hw", str(cores)],
+                stdout=subprocess.PIPE,
+                stderr=log,
+                env=dict(os.environ),
+                text=True,
+            )
+        if p.returncode == 0:
+            return json.loads(p.stdout.strip().splitlines()[-1])["wall"]
+        print(f"ceiling worker {tag} rc={p.returncode}", file=sys.stderr)
+    raise RuntimeError(f"ceiling worker {tag} failed twice")
 
 
 def main() -> None:

@@ -173,6 +173,26 @@ def dump_profile(
             key=lambda x: -x["run_sec"],
         )[:15],
     }
+    # per-task time distribution of the heaviest stages: the straggler
+    # diagnostic (skewed partitions show as p100 >> p50)
+    for st in agg["top_stages_by_run"][:3]:
+        try:
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages/{st['stage']}/0/"
+                "taskSummary?quantiles=0.0,0.5,0.75,0.95,1.0"
+            ) as r:
+                q = json.load(r)
+            st["task_run_quantiles_sec"] = [
+                round(x / 1000.0, 2) for x in q.get("executorRunTime", [])
+            ]
+            st["shuffle_read_mb_quantiles"] = [
+                round(x / 1e6, 1)
+                for x in q.get("shuffleReadMetrics", {}).get(
+                    "readBytes", []
+                )
+            ]
+        except Exception:
+            pass
     with open(path, "w") as f:
         json.dump(agg, f, indent=1)
 
