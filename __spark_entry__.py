@@ -51,6 +51,8 @@ DOC_QUERIES = {
                           "oracle_doc_exact_dups"),
     "kr_doc_minhash_neardups": (docops.documents, docops.doc_minhash_neardups,
                                 "oracle_doc_minhash_neardups"),
+    "kr_doc_simhash_neardups": (docops.documents, docops.doc_simhash_neardups,
+                                "oracle_doc_simhash_neardups"),
     "kr_emb_knn_brute": (docops.embeddings, docops.emb_knn_brute,
                          "oracle_emb_knn_brute"),
     "kr_emb_ann_lsh": (docops.embeddings, docops.emb_ann_lsh,

@@ -33,7 +33,10 @@ from .docops import (
     NEARDUP_JACCARD,
     ROLL_BASE,
     SHINGLE_K,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
+    SIMHASH_BUCKET_CAP,
+    SIMHASH_HAMMING_MAX,
     STOPWORDS,
     ann_planes,
     minhash_coeffs,
@@ -120,7 +123,10 @@ FROM t
 """
 
 
-def oracle_doc_simhash(d: str) -> str:
+def _simhash_expr() -> str:
+    """The SIMHASH_BITS-bit fingerprint as one SQL expression over the
+    shingle-hash list column ``hs`` (shared by oracle_doc_simhash and
+    oracle_doc_simhash_neardups)."""
     bit_terms = []
     for j in range(SIMHASH_BITS):
         vote = (
@@ -132,13 +138,39 @@ def oracle_doc_simhash(d: str) -> str:
             f"(CASE WHEN {vote} > 0 THEN CAST({2 ** j} AS BIGINT) "
             f"ELSE 0 END)"
         )
+    return " + ".join(bit_terms)
+
+
+def oracle_doc_simhash(d: str) -> str:
     return f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 h AS (SELECT doc_id, {_shingle_hashes_sql()} AS hs FROM t)
 SELECT doc_id,
-  {" + ".join(bit_terms)} AS simhash,
+  {_simhash_expr()} AS simhash,
   CAST(len(hs) AS BIGINT) AS n_shingles
 FROM h
+"""
+
+
+def oracle_doc_simhash_neardups(d: str) -> str:
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {_shingle_hashes_sql()} AS hs FROM t),
+s AS (SELECT doc_id, {_simhash_expr()} AS simhash FROM h
+      WHERE len(hs) > 0),
+banded AS (SELECT doc_id, simhash, bb.range AS band,
+  (simhash >> (bb.range * {width})) & {(1 << width) - 1} AS bkey
+  FROM s, range({SIMHASH_BANDS}) bb),
+capped AS (SELECT * FROM (SELECT *, row_number() OVER
+  (PARTITION BY band, bkey ORDER BY doc_id) AS rn FROM banded)
+  WHERE rn <= {SIMHASH_BUCKET_CAP}),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  a.simhash AS sa, b.simhash AS sb
+  FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
 """
 
 

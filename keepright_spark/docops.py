@@ -392,6 +392,72 @@ def doc_minhash_neardups(docs: DataFrame) -> DataFrame:
     )
 
 
+SIMHASH_BANDS = 4  # byte-wide bands over the SIMHASH_BITS fingerprint
+SIMHASH_HAMMING_MAX = 3  # pigeonhole: ≤3 flipped bits ⇒ ≥1 equal band
+SIMHASH_BUCKET_CAP = 64
+
+
+def doc_simhash_neardups(docs: DataFrame) -> DataFrame:
+    """SimHash near-duplicate pairs with exact Hamming verify.
+
+    candidate generation: band the SIMHASH_BITS fingerprint into
+    SIMHASH_BANDS byte keys — by pigeonhole, any pair within
+    SIMHASH_HAMMING_MAX Hamming distance shares at least one band —
+    and bucket-join on (band, byte).  Hot buckets are capped at
+    SIMHASH_BUCKET_CAP docs in deterministic doc_id order, the same
+    discipline as doc_minhash_neardups.
+    verify: exact ``bit_count(xor)`` ≤ SIMHASH_HAMMING_MAX.
+    Docs with no shingles (fingerprint 0 over the empty set) are
+    excluded up front — they are exact-dedup's business, and they
+    would otherwise form one degenerate all-pairs bucket.
+
+    Scale note: this toy-scale parameterization (32-bit fingerprint,
+    8-bit bands) keeps every value oracle-checkable; a planet-scale
+    deployment uses the identical plan shape with a 64-bit
+    fingerprint and 16-bit bands (Manku et al., WWW'07), where the
+    bucket key space is 65k per band and the cap bounds the residual
+    hot buckets.
+    """
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    sh = doc_simhash(docs).filter(F.col("n_shingles") > 0)
+    band_rows = [
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("simhash"), band * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bkey"),
+        )
+        for band in range(SIMHASH_BANDS)
+    ]
+    banded = band_rows[0]
+    for bdf in band_rows[1:]:
+        banded = banded.unionByName(bdf)
+    w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= SIMHASH_BUCKET_CAP
+    )
+    left = capped.select(
+        "band", "bkey", F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+    )
+    right = capped.select(
+        "band", "bkey", F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    pairs = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------

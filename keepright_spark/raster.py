@@ -57,6 +57,15 @@ VAL_MOD = 256  # cell values in [0, 255]
 ZONE_KEYS = ["landuse", "natural", "leisure"]
 
 
+def ray_crossing(cx, cy, ax, ay, bx, by):
+    """True when the +x ray from (cx, cy) crosses edge (a→b) — the
+    even-odd parity term.  Horizontal edges (ay == by) fall out of the
+    first conjunct, so the interpolation's division never decides."""
+    return ((ay > cy) != (by > cy)) & (
+        cx < ax + (bx - ax) * (cy - ay) / (by - ay)
+    )
+
+
 def raster_cells(spark: SparkSession, tiles: list[Tile],
                  res: int = RES) -> DataFrame:
     """(tile, i, j, cx, cy, val): the deterministic raster lattice.
@@ -161,14 +170,9 @@ def zonal_stats(spark: SparkSession, dataset_dir: str,
     # even-odd ray cast (check_0310._ray_cast_count shape): count edge
     # crossings of the +x ray from the cell center; odd => inside
     j = cand.join(edges, ["tile", "way_id"])
-    crossing = (
-        (F.col("ay") > F.col("cy")) != (F.col("by") > F.col("cy"))
-    ) & (
-        F.col("cx")
-        < F.col("ax")
-        + (F.col("bx") - F.col("ax"))
-        * (F.col("cy") - F.col("ay"))
-        / (F.col("by") - F.col("ay"))
+    crossing = ray_crossing(
+        F.col("cx"), F.col("cy"),
+        F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),
     )
     inside = (
         j.groupBy("tile", "way_id", "zone_kind", "i", "j", "val")

@@ -58,6 +58,60 @@ def test_raster_cells_deterministic_lattice(spark, dataset):
     assert t0.bottom < row[2] and row[3] < t0.top
 
 
+def test_ray_cast_matches_numpy_reference(spark):
+    """Randomized equivalence: the Spark parity expression vs a plain
+    python even-odd ray cast, over random (possibly self-intersecting)
+    closed polylines — even-odd parity is well-defined for both."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    edge_rows, pt_rows, want = [], [], {}
+    for pid in range(25):
+        k = int(rng.integers(3, 9))
+        poly = rng.random((k, 2))
+        poly = np.vstack([poly, poly[:1]])  # close
+        for (ax, ay), (bx, by) in zip(poly[:-1], poly[1:]):
+            edge_rows.append((pid, float(ax), float(ay), float(bx), float(by)))
+        for q in range(8):
+            px, py = (float(x) for x in rng.random(2))
+            n = 0
+            for (ax, ay), (bx, by) in zip(poly[:-1], poly[1:]):
+                if (ay > py) != (by > py) and px < ax + (bx - ax) * (
+                    py - ay
+                ) / (by - ay):
+                    n += 1
+            pt_rows.append((pid, q, px, py))
+            want[(pid, q)] = n % 2 == 1
+
+    edges = spark.createDataFrame(
+        edge_rows, "pid int, ax double, ay double, bx double, by double"
+    )
+    pts = spark.createDataFrame(
+        pt_rows, "pid int, q int, cx double, cy double"
+    )
+    inside = (
+        pts.join(edges, "pid")
+        .groupBy("pid", "q")
+        .agg(
+            F.sum(
+                F.when(
+                    raster.ray_crossing(
+                        F.col("cx"), F.col("cy"),
+                        F.col("ax"), F.col("ay"),
+                        F.col("bx"), F.col("by"),
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("nc")
+        )
+    )
+    got = {
+        (r.pid, r.q): r.nc % 2 == 1 for r in inside.collect()
+    }
+    assert got == want
+    assert sum(want.values()) > 10  # the sample genuinely hits insides
+
+
 def test_zonal_plan_stays_native(spark, dataset):
     # the whole operator is column arithmetic: any Python in the row
     # path (BatchEvalPython) is a plan regression
