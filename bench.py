@@ -58,6 +58,7 @@ import time
 
 from keepright_spark.datagen import ensure_dataset, scale_for_sf_dir
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF_NAME = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
@@ -67,6 +68,13 @@ CORES_LO = 1
 CORES_MID = 2
 CORES_HI = 4
 LOG_DIR = "/tmp/kr_bench_logs"
+
+
+def _worker_env() -> dict:
+    # workers import keepright_spark regardless of the caller's cwd
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
 
 
 def run_suite(dataset: str, cores: int, parts: int, tag: str) -> dict:
@@ -87,7 +95,8 @@ def run_suite(dataset: str, cores: int, parts: int, tag: str) -> dict:
                 ],
                 stdout=subprocess.PIPE,
                 stderr=log,
-                env=dict(os.environ),
+                env=_worker_env(),
+                cwd=REPO,
                 text=True,
             )
         if p.returncode == 0:
@@ -104,7 +113,8 @@ def run_ceiling(cores: int, tag: str) -> float:
                 [sys.executable, "-m", "keepright_spark.bench_hw", str(cores)],
                 stdout=subprocess.PIPE,
                 stderr=log,
-                env=dict(os.environ),
+                env=_worker_env(),
+                cwd=REPO,
                 text=True,
             )
         if p.returncode == 0:
@@ -221,8 +231,8 @@ def _write_baseline_md(scale: str, per_query: dict, result: dict) -> None:
     def _lvl(c):
         return ", ".join(str(w) for w in walls_all[str(c)])
 
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH — keepright_spark engine\n\n"
             f"Headline dataset: synthetic OSM docs, scale `{scale}` "
