@@ -57,6 +57,8 @@ DOC_QUERIES = {
                          "oracle_emb_knn_brute"),
     "kr_emb_ann_lsh": (docops.embeddings, docops.emb_ann_lsh,
                        "oracle_emb_ann_lsh"),
+    "kr_emb_cosine_neardups": (docops.embeddings, docops.emb_cosine_neardups,
+                               "oracle_emb_cosine_neardups"),
 }
 
 

@@ -598,3 +598,51 @@ def emb_ann_lsh(emb: DataFrame) -> DataFrame:
         .select("q_id", F.col("bucket").cast("long").alias("bucket"),
                 F.col("rank").cast("long").alias("rank"), "n_id", "score")
     )
+
+
+COSINE_NEARDUP = 0.3  # see docstring: exercises the path on the
+EMB_DUP_BUCKET_CAP = 64  # driver's uniform-random embeddings
+
+
+def emb_cosine_neardups(emb: DataFrame) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-side twin of
+    emb_ann_lsh: sign-random-projection buckets, deterministic
+    EMB_DUP_BUCKET_CAP per bucket, within-bucket pair join, exact
+    cosine ≥ COSINE_NEARDUP verify.  Each vector lives in exactly one
+    bucket, so pairs are unique by construction (no dedup pass).
+
+    Threshold note: the driver's synthetic embeddings are
+    uniform-random — no planted duplicates; the max pairwise cosine
+    is ≈0.5 — so COSINE_NEARDUP is set low (0.3) to keep the verify
+    stage exercised with real rows at test scale.  A production
+    near-dup threshold (~0.95) only makes the final filter more
+    selective; the plan shape (map-side bucket assignment →
+    hash-shuffle on bucket → cap²-bounded pair join) is identical,
+    and recall is governed by the same single-bucket LSH caveat
+    documented on emb_ann_lsh.
+    """
+    base = _with_norm(emb).withColumn("bucket", _bucket_expr())
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    capped = base.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= EMB_DUP_BUCKET_CAP
+    )
+    a = capped.select(
+        "bucket", F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"), F.col("norm").alias("na"),
+    )
+    b = capped.select(
+        "bucket", F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        _cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6
+    )
+    return (
+        pairs.select(
+            "vec_a", "vec_b",
+            F.col("bucket").cast("long").alias("bucket"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_NEARDUP)
+    )
