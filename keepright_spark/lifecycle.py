@@ -62,6 +62,7 @@ def sync_errors(
     executed_checks: list[int],
     run_seq: int,
     tile_scope: list[str] | None = None,
+    release_to: list | None = None,
 ) -> DataFrame:
     """Next state of the persistent errors table.
 
@@ -70,6 +71,11 @@ def sync_errors(
     ``tile_scope``: tiles this run actually executed (diff update) —
     vanished errors outside the scope keep their state, exactly like
     the reference's per-schema runs never clear other schemas' rows.
+    ``release_to``: optional list; when given, the twice-consumed
+    intermediate frame is persisted and appended here, and the caller
+    unpersists after materializing the result.  Without it nothing is
+    cached (the intermediate is computed twice) — no hidden state to
+    leak.
     """
     spark = fresh.sparkSession
     if existing is None:
@@ -137,8 +143,11 @@ def sync_errors(
             *[f[f"f_{c}"].alias(c) for c in TXT_COLS],
         )
         .filter(_decade_scope(executed_checks))
-        .persist()
     )
+    if release_to is not None:
+        # consumed by tile_off AND only_new: cache once, caller releases
+        fresh_new = fresh_new.persist()
+        release_to.append(fresh_new)
     w_tile = Window.partitionBy("tile").orderBy(
         *[F.col(k).asc_nulls_first() for k in KEY if k != "tile"]
     )
@@ -175,17 +184,11 @@ def sync_errors(
         .withColumn("last_checked", F.lit(run_seq))
     )
     cols = [fld.split(" ")[0] for fld in ERRORS_SCHEMA.split(", ")]
-    out = (
+    return (
         both.select(cols)
         .unionByName(only_old.select(cols))
         .unionByName(only_new.select(cols))
     )
-    # fresh_new's cache (consumed by tile_off AND only_new) can only be
-    # released once the result is materialized; long-lived diff-update
-    # sessions would otherwise accumulate cached partitions per sync
-    # cycle.  The caller that materializes (run_persistent) unpersists.
-    out._kr_release = fresh_new  # type: ignore[attr-defined]
-    return out
 
 
 def published_view(errors: DataFrame, v) -> DataFrame:
@@ -298,12 +301,15 @@ def run_persistent(
     scope_names = sorted(t.name for t in tiles)
     docs_sig = pipeline._docs_signature(dataset_dir)
     if run_seq is None:
-        # crash-safe resume: pick up the latest *uncommitted* run (its
-        # groups_done lets us skip completed tile groups) — but only
-        # when its recorded scope + docs signature match this call's;
-        # otherwise abandon the stale staged run and start fresh.
-        # last_run_seq is only advanced at commit, so a crash mid-run
-        # never orphans its staged groups.
+        # crash-safe resume: pick up the newest *uncommitted* run whose
+        # recorded scope + docs signature match this call's (its
+        # groups_done lets us skip completed tile groups).  EVERY other
+        # uncommitted run is stale — swept (record + staged dir), not
+        # just the newest, so crashed runs can't accumulate orphaned
+        # staged output.  last_run_seq is only advanced at commit, so a
+        # crash mid-run never orphans its staged groups.
+        import shutil
+
         seqs = sorted(
             int(k.split("_", 1)[1])
             for k in manifest
@@ -312,31 +318,33 @@ def run_persistent(
         uncommitted = [
             s for s in seqs if not manifest[f"run_{s}"].get("committed")
         ]
-        if uncommitted:
-            cand = uncommitted[-1]
-            rec = manifest[f"run_{cand}"]
+        stale = []
+        for s in reversed(uncommitted):
+            rec = manifest[f"run_{s}"]
             stored_scope = rec.get("scope") or sorted(
                 {n for g in rec.get("groups", []) for n in g}
             )
             if (
-                stored_scope == scope_names
+                run_seq is None
+                and stored_scope == scope_names
                 and rec.get("docs_sig", docs_sig) == docs_sig
             ):
-                run_seq = cand
+                run_seq = s
             else:
-                # stale crashed run: drop its record + staged outputs
-                import shutil
-
-                shutil.rmtree(
-                    os.path.join(state_dir, "stage", f"run_{cand}"),
-                    ignore_errors=True,
-                )
-                del manifest[f"run_{cand}"]
-                with open(manifest_path, "w") as f:
-                    json.dump(manifest, f)
-                run_seq = max(int(manifest.get("last_run_seq", 0)), cand) + 1
-        else:
-            run_seq = int(manifest.get("last_run_seq", 0)) + 1
+                stale.append(s)
+        for s in stale:
+            shutil.rmtree(
+                os.path.join(state_dir, "stage", f"run_{s}"),
+                ignore_errors=True,
+            )
+            del manifest[f"run_{s}"]
+        if stale:
+            with open(manifest_path, "w") as f:
+                json.dump(manifest, f)
+        if run_seq is None:
+            run_seq = max(
+                int(manifest.get("last_run_seq", 0)), *uncommitted, 0
+            ) + 1
     # no shared cache here: each tile group filters the views to its
     # tiles, and over the raw tile-partitioned parquet that filter is
     # partition pruning — the group's scan touches only its partitions
@@ -355,10 +363,24 @@ def run_persistent(
     rec = manifest.get(run_key, {})
     tile_by_name = {t.name: t for t in tiles}
     if rec.get("groups"):
-        groups = [
-            [tile_by_name[n] for n in g if n in tile_by_name]
-            for g in rec["groups"]
-        ]
+        # run identity holds for ANY reused record — including an
+        # explicitly passed run_seq: a stale record's staged groups
+        # describe a different world than the sync would commit
+        # against (mismatched tiles would be silently skipped yet fall
+        # inside the clear scope → false 'cleared' rows).  Raise
+        # instead of silently filtering.
+        stored_scope = rec.get("scope") or sorted(
+            {n for g in rec["groups"] for n in g}
+        )
+        if stored_scope != scope_names or rec.get("docs_sig", docs_sig) != docs_sig:
+            raise ValueError(
+                f"{run_key} was staged for a different world "
+                f"(stored: {len(stored_scope)} tiles, docs_sig="
+                f"{rec.get('docs_sig')!r}; current: {len(scope_names)} "
+                f"tiles, docs_sig={docs_sig!r}). Pass a fresh run_seq "
+                f"or delete the stale staged run."
+            )
+        groups = [[tile_by_name[n] for n in g] for g in rec["groups"]]
     else:
         groups = [
             tiles[i : i + tile_group_size]
@@ -429,20 +451,25 @@ def run_persistent(
     cur = current_errors_path(state_dir)
     if cur is not None:
         existing = spark.read.parquet(cur)
+    release: list = []
     new_errors = sync_errors(
         existing,
         fresh,
         check_ids,
         run_seq,
         tile_scope=[t.name for t in tiles] if only_tiles is not None else None,
+        release_to=release,
     )
     # versioned write + atomic pointer swap: the new table is written
     # to its own directory (never overwriting the copy it reads), then
     # errors_CURRENT is flipped with an atomic rename — a crash at any
     # point leaves a readable previous version
     new_path = os.path.join(state_dir, f"errors_v{run_seq}.parquet")
-    new_errors.write.mode("overwrite").parquet(new_path)
-    getattr(new_errors, "_kr_release", fresh).unpersist()
+    try:
+        new_errors.write.mode("overwrite").parquet(new_path)
+    finally:
+        for df in release:
+            df.unpersist()
     ptr = os.path.join(state_dir, "errors_CURRENT")
     tmp_ptr = ptr + ".tmp"
     with open(tmp_ptr, "w") as f:

@@ -2573,7 +2573,10 @@ def oracle_media_census(d: str) -> str:
 
 
 def oracle_media_dups(d: str) -> str:
-    # mirrors media.DUP_ROSTER_CAP: exact n_docs, top-20 doc sample
+    # roster cap imported from the engine (media.DUP_ROSTER_CAP) so a
+    # cap change can never desynchronize engine and oracle
+    from .media import DUP_ROSTER_CAP
+
     return (
         f"WITH {preamble(d)},\n{_media_preamble(d)}\n"
         "SELECT tile, media_ref, max(total) AS n_docs, "
@@ -2581,8 +2584,8 @@ def oracle_media_dups(d: str) -> str:
         "SELECT tile, media_ref, doc_id, "
         "count(*) OVER (PARTITION BY tile, media_ref) AS total, "
         "row_number() OVER (PARTITION BY tile, media_ref ORDER BY doc_id) "
-        "AS rn FROM (SELECT DISTINCT tile, media_ref, doc_id FROM tm "
-        "WHERE media_ref IS NOT NULL)) WHERE rn <= 20 "
+        f"AS rn FROM (SELECT DISTINCT tile, media_ref, doc_id FROM tm "
+        f"WHERE media_ref IS NOT NULL)) WHERE rn <= {DUP_ROSTER_CAP} "
         "GROUP BY tile, media_ref HAVING max(total) > 1"
     )
 

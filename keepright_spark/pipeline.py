@@ -134,9 +134,16 @@ def _cell_census(spark: SparkSession, out: str) -> dict:
     """Hottest-64 m-cell occupancy of nodes and way segments — the
     prepare-time skew statistic spatial.spread() gates its balancing
     exchange on (the cluster analog is Iceberg table stats, refreshed
-    with the table).  Midpoint cells: a hotness detector, not a join
-    cover, so bbox expansion is unnecessary."""
-    from .spatial import point_cells
+    with the table).
+
+    Segment occupancy counts every cell the segment's bbox covers —
+    the same enrollment the consumers use (0050's line_cells /
+    bseg_cells explode bbox_cells) — so the stat is an upper bound for
+    bbox-cell joins too: a cell crossed by many long segments whose
+    midpoints lie elsewhere reads exactly as hot as the join will see
+    it.  Node occupancy stays midpoint(point)-based, matching
+    point_cells consumers."""
+    from .spatial import bbox_cells, point_cells
 
     nodes = spark.read.parquet(f"{out}/nodes.parquet")
     node_max = (
@@ -147,12 +154,17 @@ def _cell_census(spark: SparkSession, out: str) -> dict:
     )
     segs = spark.read.parquet(f"{out}/h_segments.parquet")
     seg_max = (
-        segs.groupBy(
+        segs.select(
             "tile",
-            point_cells(
-                (F.col("ax") + F.col("bx")) / 2, (F.col("ay") + F.col("by")) / 2, 64.0
+            F.explode(
+                bbox_cells(
+                    F.least("ax", "bx"), F.least("ay", "by"),
+                    F.greatest("ax", "bx"), F.greatest("ay", "by"),
+                    64.0, 0.0,
+                )
             ).alias("c"),
         )
+        .groupBy("tile", "c")
         .count()
         .agg(F.coalesce(F.max("count"), F.lit(0)))
         .first()[0]
@@ -185,7 +197,7 @@ def _docs_signature(dataset_dir: str) -> str:
 # oneways / lengths / segments reads the parquet instead of re-running
 # the shared aggregation (saves ~4 stages per consuming check job)
 HELPER_NAMES = ["h_layers", "h_oneways", "h_lengths", "h_segments"]
-ENGINE_VERSION = 4  # 4: cell_stats census in the engine manifest
+ENGINE_VERSION = 5  # 5: seg census over bbox-covered cells
 
 
 def _write_helpers(spark: SparkSession, out: str, n_files: int) -> None:

@@ -61,6 +61,12 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
         )
+        # lib.stable_checkpoint writes a reliable checkpoint per
+        # fixpoint iteration when KR_CHECKPOINT_DIR is set; without
+        # this, long-lived sessions accumulate checkpoint storage
+        # unboundedly (the cleaner GCs a checkpoint once its RDD is
+        # unreachable)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
