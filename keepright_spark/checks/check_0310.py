@@ -70,12 +70,22 @@ _PART_SCHEMA = StructType(
 
 
 def _stitch_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
-    rows = pdf.to_dict("records")
-    for r in rows:
-        r["part"] = None
-        r["sequence_id"] = None
-        for c in ("first_node_id", "last_node_id"):
-            r[c] = None if pd.isna(r[c]) else int(r[c])
+    # dict-of-lists conversion (not to_dict("records")): the pandas
+    # record path dominated this UDF's profile; tolist + zip is ~10×
+    # cheaper and byte-identical (see boundaries.stitched_border_ways)
+    def ints(col: str) -> list:
+        return [None if pd.isna(x) else int(x) for x in pdf[col].tolist()]
+
+    rows = [
+        {
+            "tile": t, "way_id": w, "first_node_id": fn,
+            "last_node_id": ln, "part": None, "sequence_id": None,
+        }
+        for t, w, fn, ln in zip(
+            pdf["tile"].tolist(), ints("way_id"),
+            ints("first_node_id"), ints("last_node_id"),
+        )
+    ]
 
     part_ctr = 1
     # closed ways: own part (0310:66-71)
@@ -126,7 +136,9 @@ def _stitch_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
                 break
             loop += 1
         part += 1
-    return pd.DataFrame(rows, columns=[f.name for f in _PART_SCHEMA.fields])
+    return pd.DataFrame(
+        {c: [r[c] for r in rows] for c in (f.name for f in _PART_SCHEMA.fields)}
+    )
 
 
 def _ray_cast_count(pts: DataFrame, edges: DataFrame, keys: list[str]) -> DataFrame:
@@ -235,8 +247,14 @@ def run(v: OsmViews) -> DataFrame:
     from pyspark.sql import Window
 
     ww = Window.partitionBy("tile", "way_id").orderBy("sequence_id")
+    # rank only the seed ways' nodes (roundabout parts are a tiny
+    # fraction of way_nodes): semi-join before the window sort
     wn12 = (
-        wn.withColumn("rn", F.row_number().over(ww))
+        wn.join(
+            seed_ways.select("tile", "way_id").distinct(),
+            ["tile", "way_id"], "left_semi",
+        )
+        .withColumn("rn", F.row_number().over(ww))
         .filter(F.col("rn") <= 2)
         .groupBy("tile", "way_id")
         .agg(
