@@ -49,6 +49,14 @@ DOC_QUERIES = {
                        "oracle_doc_simhash"),
     "kr_doc_exact_dups": (docops.documents, docops.doc_exact_dups,
                           "oracle_doc_exact_dups"),
+    # positive-path dedup: deterministic planted clones (the raw corpus
+    # has no duplicate texts at correctness scale, so the entry above
+    # only proves the empty case); exercises the roster cap
+    "kr_doc_exact_dups_planted": (docops.documents,
+                                  docops.doc_exact_dups_planted,
+                                  "oracle_doc_exact_dups_planted"),
+    # silent-cap overflow census (loader None: fn takes (spark, sf_dir))
+    "kr_doc_cap_census": (None, None, "oracle_doc_cap_census"),
     "kr_doc_minhash_neardups": (docops.documents, docops.doc_minhash_neardups,
                                 "oracle_doc_minhash_neardups"),
     "kr_doc_simhash_neardups": (docops.documents, docops.doc_simhash_neardups,
@@ -100,6 +108,16 @@ def _mk_raster_query(fn) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def _mk_doc_query(loader, fn) -> Callable[[SparkSession, str], DataFrame]:
+    if loader is None and fn is None:
+        # census query: needs both tables
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return docops.dedup_cap_census(
+                docops.documents(spark, sf_dir),
+                docops.embeddings(spark, sf_dir),
+            )
+
+        return q
+
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(loader(spark, sf_dir))
 

@@ -39,6 +39,7 @@ from .docops import (
     SIMHASH_HAMMING_MAX,
     STOPWORDS,
     ann_planes,
+    ann_probe_offsets,
     minhash_coeffs,
 )
 
@@ -152,16 +153,21 @@ FROM h
 """
 
 
-def oracle_doc_simhash_neardups(d: str) -> str:
+def _simhash_banded_cte() -> str:
+    """CTE chain t → h → s → banded (doc_id, simhash, band, bkey)."""
     width = SIMHASH_BITS // SIMHASH_BANDS
-    return f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 h AS (SELECT doc_id, {_shingle_hashes_sql()} AS hs FROM t),
 s AS (SELECT doc_id, {_simhash_expr()} AS simhash FROM h
       WHERE len(hs) > 0),
 banded AS (SELECT doc_id, simhash, bb.range AS band,
   (simhash >> (bb.range * {width})) & {(1 << width) - 1} AS bkey
-  FROM s, range({SIMHASH_BANDS}) bb),
+  FROM s, range({SIMHASH_BANDS}) bb)"""
+
+
+def oracle_doc_simhash_neardups(d: str) -> str:
+    return f"""
+WITH {_simhash_banded_cte()},
 capped AS (SELECT * FROM (SELECT *, row_number() OVER
   (PARTITION BY band, bkey ORDER BY doc_id) AS rn FROM banded)
   WHERE rn <= {SIMHASH_BUCKET_CAP}),
@@ -174,11 +180,12 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
 """
 
 
-def oracle_doc_exact_dups(d: str) -> str:
+def _exact_dups_sql(src: str) -> str:
+    """Exact-dedup query body over a (doc_id, text) source CTE/view."""
     return f"""
-WITH t AS (SELECT doc_id,
+t AS (SELECT doc_id,
   md5(coalesce(list_aggregate({TOKS}, 'string_agg', ' '), ''))
-    AS content_hash FROM documents),
+    AS content_hash FROM {src}),
 r AS (SELECT content_hash, doc_id,
   row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
   count(*) OVER (PARTITION BY content_hash) AS total FROM t)
@@ -189,7 +196,35 @@ GROUP BY content_hash HAVING max(total) > 1
 """
 
 
-def oracle_doc_minhash_neardups(d: str) -> str:
+def oracle_doc_exact_dups(d: str) -> str:
+    return "WITH " + _exact_dups_sql("documents")
+
+
+def _planted_sql() -> str:
+    """CTEs deriving the planted-duplicate corpus (docops.
+    planted_dup_docs): one clone per h32(doc_id)%MOD==0 doc plus
+    PLANT_BIG_GROUP clones of the min-doc_id doc."""
+    from .docops import PLANT_BIG_GROUP, PLANT_DUP_MOD
+
+    return f"""
+pbase AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+pclones AS (SELECT doc_id || '#dup' AS doc_id, text FROM pbase
+  WHERE ('0x'||substr(md5(doc_id),1,8))::BIGINT % {PLANT_DUP_MOD} = 0),
+pbig AS (SELECT b.doc_id || '#big' || lpad(CAST(i.range AS VARCHAR), 2, '0')
+    AS doc_id, b.text
+  FROM pbase b, range(1, {PLANT_BIG_GROUP + 1}) i
+  WHERE b.doc_id = (SELECT min(doc_id) FROM pbase)),
+planted AS (SELECT * FROM pbase UNION ALL SELECT * FROM pclones
+  UNION ALL SELECT * FROM pbig)"""
+
+
+def oracle_doc_exact_dups_planted(d: str) -> str:
+    return "WITH " + _planted_sql() + ",\n" + _exact_dups_sql("planted")
+
+
+def _minhash_banded_cte() -> str:
+    """CTE chain t → h → sigs → banded (doc_id, hs, band, bkey) —
+    shared by the near-dup oracle and the cap census."""
     r = MINHASH_K // LSH_BANDS
     sig_cols = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
@@ -205,11 +240,15 @@ def oracle_doc_minhash_neardups(d: str) -> str:
             f"SELECT doc_id, hs, {band} AS band, md5({key}) AS bkey FROM sigs"
         )
     banded = " UNION ALL ".join(band_selects)
-    return f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 h AS (SELECT doc_id, {_shingle_hashes_sql()} AS hs FROM t),
 sigs AS (SELECT doc_id, hs, {sig_cols} FROM h WHERE len(hs) > 0),
-banded AS ({banded}),
+banded AS ({banded})"""
+
+
+def oracle_doc_minhash_neardups(d: str) -> str:
+    return f"""
+WITH {_minhash_banded_cte()},
 capped AS (SELECT * FROM (
   SELECT *, row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id)
     AS rn FROM banded) WHERE rn <= {LSH_BUCKET_CAP}),
@@ -274,16 +313,20 @@ def _bucket_sql() -> str:
 
 
 def oracle_emb_ann_lsh(d: str) -> str:
+    masks = "[" + ", ".join(str(m) for m in ann_probe_offsets()) + "]"
     return f"""
 WITH {_NORM_CTE},
 bucketed AS (SELECT vec_id, embedding, norm,
   {_bucket_sql()} AS bucket FROM base),
 q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm, bucket
       FROM bucketed WHERE vec_id % {KNN_QUERY_MOD} = 0),
-scored AS (SELECT q.q_id, q.bucket, c.vec_id AS n_id,
-  round({_dot_sql("q.q_emb", "c.embedding")}
-        / greatest(q.q_norm * c.norm, 1e-12), 6) AS score
-  FROM q JOIN bucketed c ON q.bucket = c.bucket AND q.q_id <> c.vec_id),
+probes AS (SELECT q_id, q_emb, q_norm, xor(bucket, m.mask) AS bucket
+      FROM q CROSS JOIN (SELECT unnest({masks}) AS mask) m),
+scored AS (SELECT p.q_id, p.bucket, c.vec_id AS n_id,
+  round({_dot_sql("p.q_emb", "c.embedding")}
+        / greatest(p.q_norm * c.norm, 1e-12), 6) AS score
+  FROM probes p JOIN bucketed c
+    ON p.bucket = c.bucket AND p.q_id <> c.vec_id),
 ranked AS (SELECT *, row_number() OVER (
     PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
   FROM scored)
@@ -311,3 +354,46 @@ pairs AS (SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
 SELECT vec_a, vec_b, CAST(bucket AS BIGINT) AS bucket, cosine
 FROM pairs WHERE cosine >= {COSINE_NEARDUP}
 """
+
+
+def _overflow_select(counts_cte_tail: str, name: str, cap: int) -> str:
+    """One census row over a subquery ending in a CTE ``c`` with a
+    per-bucket count column ``n`` (mirrors docops._bucket_overflow)."""
+    return f"""SELECT * FROM (WITH {counts_cte_tail}
+  SELECT '{name}' AS operator, CAST({cap} AS BIGINT) AS cap,
+    CAST(coalesce(sum(CASE WHEN n > {cap} THEN 1 END), 0) AS BIGINT)
+      AS buckets_over,
+    CAST(coalesce(sum(CASE WHEN n > {cap} THEN n - {cap} END), 0) AS BIGINT)
+      AS rows_beyond_cap
+  FROM c)"""
+
+
+def oracle_doc_cap_census(d: str) -> str:
+    from .docops import EMB_DUP_BUCKET_CAP
+
+    minhash = _overflow_select(
+        _minhash_banded_cte()
+        + ",\nc AS (SELECT count(*) AS n FROM banded GROUP BY band, bkey)",
+        "minhash_lsh", LSH_BUCKET_CAP,
+    )
+    simhash = _overflow_select(
+        _simhash_banded_cte()
+        + ",\nc AS (SELECT count(*) AS n FROM banded GROUP BY band, bkey)",
+        "simhash_band", SIMHASH_BUCKET_CAP,
+    )
+    embc = _overflow_select(
+        _NORM_CTE
+        + f",\nbucketed AS (SELECT vec_id, {_bucket_sql()} AS bucket"
+        + " FROM base),\nc AS (SELECT count(*) AS n FROM bucketed"
+        + " GROUP BY bucket)",
+        "emb_cosine_bucket", EMB_DUP_BUCKET_CAP,
+    )
+    exact = _overflow_select(
+        _planted_sql()
+        + f""",
+k AS (SELECT md5(coalesce(list_aggregate({TOKS}, 'string_agg', ' '), ''))
+  AS content_hash FROM planted),
+c AS (SELECT count(*) AS n FROM k GROUP BY content_hash)""",
+        "exact_dup_roster", DUP_ROSTER_CAP,
+    )
+    return "\nUNION ALL\n".join([minhash, simhash, embc, exact])

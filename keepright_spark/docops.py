@@ -290,14 +290,20 @@ def doc_simhash(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _exact_keyed(docs: DataFrame) -> DataFrame:
+    """(content_hash, doc_id): md5 of normalized text (lowercase
+    tokens re-joined) — exact dedup's group key."""
+    norm = F.concat_ws(" ", _tokens(F.col("text")))
+    return docs.select(
+        F.md5(F.encode(norm, "UTF-8")).alias("content_hash"), "doc_id"
+    )
+
+
 def doc_exact_dups(docs: DataFrame) -> DataFrame:
     """Exact dedup on the md5 of normalized text (lowercase tokens
     re-joined): hash-shuffle on the digest, groups are tiny by
     construction.  Roster capped like media.media_dup_refs."""
-    norm = F.concat_ws(" ", _tokens(F.col("text")))
-    keyed = docs.select(
-        F.md5(F.encode(norm, "UTF-8")).alias("content_hash"), "doc_id"
-    )
+    keyed = _exact_keyed(docs)
     part = Window.partitionBy("content_hash")
     ranked = keyed.withColumn(
         "_rn", F.row_number().over(part.orderBy("doc_id"))
@@ -315,6 +321,58 @@ def doc_exact_dups(docs: DataFrame) -> DataFrame:
     )
 
 
+PLANT_DUP_MOD = 20    # every doc with h32(doc_id) % MOD == 0 gets a clone
+PLANT_BIG_GROUP = 25  # clones of the min-doc_id doc (> DUP_ROSTER_CAP)
+
+
+def planted_dup_docs(docs: DataFrame) -> DataFrame:
+    """``documents`` ∪ deterministic duplicate plants — the
+    positive-path input for exact dedup (the driver corpus has no
+    duplicate texts at correctness scale, so ``doc_exact_dups`` on the
+    raw table proves only the empty case):
+
+    * every doc whose h32(doc_id) % PLANT_DUP_MOD == 0 gains one clone
+      (``<doc_id>#dup``) → many small dup groups;
+    * the min-doc_id doc gains PLANT_BIG_GROUP clones
+      (``<doc_id>#bigNN``) → one group larger than DUP_ROSTER_CAP,
+      exercising the roster cap.
+
+    Both plants are pure column arithmetic mirrored in the oracle —
+    no RNG, no driver-side data.
+    """
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    clones = base.filter(_h32(F.col("doc_id")) % PLANT_DUP_MOD == 0).select(
+        F.concat(F.col("doc_id"), F.lit("#dup")).alias("doc_id"), "text"
+    )
+    m = base.groupBy().agg(F.min("doc_id").alias("doc_id"))
+    big = (
+        base.join(F.broadcast(m), "doc_id")
+        .select(
+            "doc_id", "text",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(PLANT_BIG_GROUP))
+            ).alias("i"),
+        )
+        .select(
+            F.concat(
+                "doc_id", F.lit("#big"),
+                F.lpad(F.col("i").cast("string"), 2, "0"),
+            ).alias("doc_id"),
+            "text",
+        )
+    )
+    return base.unionByName(clones).unionByName(big)
+
+
+def doc_exact_dups_planted(docs: DataFrame) -> DataFrame:
+    """Exact dedup over the planted corpus — same operator, non-empty
+    output with the roster cap exercised (n_docs > DUP_ROSTER_CAP on
+    the big group while its ``docs`` roster stays capped)."""
+    return doc_exact_dups(planted_dup_docs(docs))
+
+
 def _minhash_sigs(docs: DataFrame) -> DataFrame:
     """doc_id, shingle-hash set, MINHASH_K minhash signature values."""
     hs = _shingle_hashes(_tokens(F.col("text")))
@@ -328,23 +386,9 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     return base.select("doc_id", "hs", *sig_cols)
 
 
-def doc_minhash_neardups(docs: DataFrame) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs with exact Jaccard verify.
-
-    candidate generation: MINHASH_K minhash signature → LSH_BANDS
-    band keys (md5 of the band's sig slice) → docs sharing a band key
-    become candidate pairs.  The band join is keyed (band, bucket) —
-    never all-pairs — and a hot bucket is capped at LSH_BUCKET_CAP
-    docs (deterministic doc_id order), the textual twin of
-    spatial.refine_hot_cells' hot-tile cap.
-    verify: exact shingle-set Jaccard ≥ NEARDUP_JACCARD via
-    array_intersect/array_union on the (distinct, sorted) hash sets.
-
-    At 100 TB the flow is: 1 scan + signature (map-side), explode ×
-    LSH_BANDS (linear), hash-shuffle on (band, key), within-bucket
-    pair join bounded by the cap² — the canonical scalable near-dup
-    shape (Broder MinHash + banding).
-    """
+def _minhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs, band, bkey): the LSH band keys of every doc —
+    shared by the near-dup pair join and the cap-overflow census."""
     r = MINHASH_K // LSH_BANDS
     sigs = _minhash_sigs(docs)
     band_rows = []
@@ -365,6 +409,29 @@ def doc_minhash_neardups(docs: DataFrame) -> DataFrame:
     banded = band_rows[0]
     for bdf in band_rows[1:]:
         banded = banded.unionByName(bdf)
+    return banded
+
+
+def doc_minhash_neardups(
+    docs: DataFrame, threshold: float = NEARDUP_JACCARD
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verify.
+
+    candidate generation: MINHASH_K minhash signature → LSH_BANDS
+    band keys (md5 of the band's sig slice) → docs sharing a band key
+    become candidate pairs.  The band join is keyed (band, bucket) —
+    never all-pairs — and a hot bucket is capped at LSH_BUCKET_CAP
+    docs (deterministic doc_id order), the textual twin of
+    spatial.refine_hot_cells' hot-tile cap.
+    verify: exact shingle-set Jaccard ≥ NEARDUP_JACCARD via
+    array_intersect/array_union on the (distinct, sorted) hash sets.
+
+    At 100 TB the flow is: 1 scan + signature (map-side), explode ×
+    LSH_BANDS (linear), hash-shuffle on (band, key), within-bucket
+    pair join bounded by the cap² — the canonical scalable near-dup
+    shape (Broder MinHash + banding).
+    """
+    banded = _minhash_banded(docs)
     w = Window.partitionBy("band", "bkey").orderBy("doc_id")
     capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= LSH_BUCKET_CAP
@@ -388,13 +455,35 @@ def doc_minhash_neardups(docs: DataFrame) -> DataFrame:
             "doc_b",
             F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= NEARDUP_JACCARD)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
 SIMHASH_BANDS = 4  # byte-wide bands over the SIMHASH_BITS fingerprint
 SIMHASH_HAMMING_MAX = 3  # pigeonhole: ≤3 flipped bits ⇒ ≥1 equal band
 SIMHASH_BUCKET_CAP = 64
+
+
+def _simhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, bkey): byte-band keys of every doc with
+    shingles — shared by the near-dup join and the overflow census."""
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    sh = doc_simhash(docs).filter(F.col("n_shingles") > 0)
+    band_rows = [
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("simhash"), band * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bkey"),
+        )
+        for band in range(SIMHASH_BANDS)
+    ]
+    banded = band_rows[0]
+    for bdf in band_rows[1:]:
+        banded = banded.unionByName(bdf)
+    return banded
 
 
 def doc_simhash_neardups(docs: DataFrame) -> DataFrame:
@@ -418,22 +507,7 @@ def doc_simhash_neardups(docs: DataFrame) -> DataFrame:
     bucket key space is 65k per band and the cap bounds the residual
     hot buckets.
     """
-    width = SIMHASH_BITS // SIMHASH_BANDS
-    sh = doc_simhash(docs).filter(F.col("n_shingles") > 0)
-    band_rows = [
-        sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(band).alias("band"),
-            F.shiftright(F.col("simhash"), band * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("bkey"),
-        )
-        for band in range(SIMHASH_BANDS)
-    ]
-    banded = band_rows[0]
-    for bdf in band_rows[1:]:
-        banded = banded.unionByName(bdf)
+    banded = _simhash_banded(docs)
     w = Window.partitionBy("band", "bkey").orderBy("doc_id")
     capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= SIMHASH_BUCKET_CAP
@@ -548,23 +622,50 @@ def _bucket_expr():
     return bucket
 
 
+ANN_PROBE_HAMMING = 3  # multi-probe radius over the plane-bit buckets
+
+
+def ann_probe_offsets() -> list[int]:
+    """XOR masks of the multi-probe set: every bucket within Hamming
+    distance ANN_PROBE_HAMMING of the query's bucket (Lv et al.,
+    VLDB'07 multi-probe LSH).  Deterministic ascending order; size
+    sum(C(ANN_PLANES, d) for d <= radius) — 37 for 8 planes, radius 2.
+    """
+    masks = [
+        m for m in range(1 << ANN_PLANES)
+        if bin(m).count("1") <= ANN_PROBE_HAMMING
+    ]
+    return sorted(masks)
+
+
 def emb_ann_lsh(emb: DataFrame) -> DataFrame:
     """LSH-bucketed approximate kNN: sign-random-projection buckets
-    (ANN_PLANES bits), then exact cosine top-K *within the query's
-    bucket*.  Same query subset and ranking rule as the brute-force
-    baseline, so recall is directly measurable against it.
+    (ANN_PLANES bits), multi-probe over every bucket within Hamming
+    distance ANN_PROBE_HAMMING of the query's bucket, then exact
+    cosine top-K over the probed candidates.  Same query subset and
+    ranking rule as the brute-force baseline, so recall is directly
+    measurable against it (test_docops pins a ≥0.5 floor at test
+    scale; single-probe measured ~0.17 there — near chance).
 
-    Scale shape: bucket assignment is map-side; the candidate join is
-    hash-shuffled on the bucket id (2^ANN_PLANES buckets), never
-    all-pairs.  Production variants re-probe neighboring buckets for
-    recall; bucket id is exposed so that extension stays cheap.
+    Scale shape: bucket assignment is map-side; queries explode ×
+    |probe set| (37 for 8 planes / radius 2 — a constant), and the
+    candidate join stays hash-shuffled on the bucket id — never
+    all-pairs.  Each candidate lives in exactly one bucket and probe
+    masks are distinct, so (q_id, n_id) pairs are unique by
+    construction — no dedup pass.
     """
     base = _with_norm(emb).withColumn("bucket", _bucket_expr())
-    q = base.filter((F.col("vec_id") % KNN_QUERY_MOD) == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-        "bucket",
+    probes = F.array(*[F.lit(m) for m in ann_probe_offsets()])
+    q = (
+        base.filter((F.col("vec_id") % KNN_QUERY_MOD) == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.explode(
+                F.transform(probes, lambda m: F.col("bucket").bitwiseXOR(m))
+            ).alias("bucket"),
+        )
     )
     cand = base.select(
         F.col("vec_id").alias("n_id"),
@@ -604,7 +705,9 @@ COSINE_NEARDUP = 0.3  # see docstring: exercises the path on the
 EMB_DUP_BUCKET_CAP = 64  # driver's uniform-random embeddings
 
 
-def emb_cosine_neardups(emb: DataFrame) -> DataFrame:
+def emb_cosine_neardups(
+    emb: DataFrame, threshold: float = COSINE_NEARDUP
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup-side twin of
     emb_ann_lsh: sign-random-projection buckets, deterministic
     EMB_DUP_BUCKET_CAP per bucket, within-bucket pair join, exact
@@ -644,5 +747,68 @@ def emb_cosine_neardups(emb: DataFrame) -> DataFrame:
             F.col("bucket").cast("long").alias("bucket"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_NEARDUP)
+        .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# cap-overflow census (the brief's no-silent-caps rule)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_overflow(df: DataFrame, keys: list, cap: int, name: str) -> DataFrame:
+    """One census row for a capped bucketing: how many buckets exceed
+    ``cap`` and how many rows fall beyond it (= pairs/roster entries
+    the operator silently drops)."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    over = F.when(F.col("n") > cap, 1)
+    beyond = F.when(F.col("n") > cap, F.col("n") - cap)
+    return counts.agg(
+        F.lit(name).alias("operator"),
+        F.lit(cap).cast("long").alias("cap"),
+        F.coalesce(F.sum(over), F.lit(0)).cast("long").alias("buckets_over"),
+        F.coalesce(F.sum(beyond), F.lit(0)).cast("long").alias(
+            "rows_beyond_cap"
+        ),
+    )
+
+
+def dedup_cap_census(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Per-operator silent-cap overflow census — the run-metrics twin
+    of the node-density skew census: every capped dedup/near-dup path
+    reports how much a hot bucket actually dropped, instead of
+    truncating silently.  One row per capped operator:
+
+    * ``minhash_lsh``        — docs beyond LSH_BUCKET_CAP per (band, bkey)
+    * ``simhash_band``       — docs beyond SIMHASH_BUCKET_CAP per (band, bkey)
+    * ``emb_cosine_bucket``  — vectors beyond EMB_DUP_BUCKET_CAP per bucket
+    * ``exact_dup_roster``   — roster entries beyond DUP_ROSTER_CAP per
+      content hash, measured over the *planted* corpus so the overflow
+      path itself is driver-verified non-zero (the big planted group
+      exceeds the cap by construction)
+
+    Each input is one extra aggregation over the operator's own bucket
+    key — same shuffle key, map-side combinable, no new scale risk.
+    """
+    rows = [
+        _bucket_overflow(
+            _minhash_banded(docs), ["band", "bkey"], LSH_BUCKET_CAP,
+            "minhash_lsh",
+        ),
+        _bucket_overflow(
+            _simhash_banded(docs), ["band", "bkey"], SIMHASH_BUCKET_CAP,
+            "simhash_band",
+        ),
+        _bucket_overflow(
+            _with_norm(emb).withColumn("bucket", _bucket_expr()),
+            ["bucket"], EMB_DUP_BUCKET_CAP, "emb_cosine_bucket",
+        ),
+        _bucket_overflow(
+            _exact_keyed(planted_dup_docs(docs)), ["content_hash"],
+            DUP_ROSTER_CAP, "exact_dup_roster",
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -34,7 +34,7 @@ def _norm(df):
 @pytest.mark.parametrize("name", sorted(entry.DOC_QUERIES))
 def test_docop_matches_oracle(spark, oracle_con, name):
     loader, fn, oname = entry.DOC_QUERIES[name]
-    got = fn(loader(spark, SF_DIR)).toPandas()
+    got = entry._mk_doc_query(loader, fn)(spark, SF_DIR).toPandas()
     exp = oracle_con.sql(getattr(doc_oracles, oname)("ignored")).df()
     assert list(sorted(got.columns)) == list(sorted(exp.columns))
     assert len(got) == len(exp), (name, len(got), len(exp))
@@ -55,19 +55,21 @@ def test_ann_recall_vs_brute(spark):
     ann = docops.emb_ann_lsh(emb).toPandas()
     b = set(zip(brute.q_id, brute.n_id))
     a = set(zip(ann.q_id, ann.n_id))
-    # LSH restricts candidates to the query's bucket: every ANN hit at
-    # rank<=K is a true neighbor pair within the bucket; recall vs
-    # brute is the quality metric (sign-LSH with 8 planes on random
-    # vectors is a weak but non-degenerate filter)
     assert len(a) > 0
+    # multi-probe LSH (Hamming ≤ ANN_PROBE_HAMMING neighbor buckets):
+    # measured 0.55 on this deterministic input; single-probe measured
+    # 0.17 and Hamming≤2 0.27, so a ≥0.5 floor actually trips if the
+    # probe set regresses.  Uniform-random vectors are LSH's worst
+    # case — clustered production embeddings sit far above this.
     recall = len(a & b) / len(b)
-    assert recall > 0.02, recall
+    assert recall >= 0.5, recall
 
 
 def test_docops_plans_are_native(spark):
     """No row-at-a-time Python anywhere in the docops plan family."""
     for name, (loader, fn, _o) in entry.DOC_QUERIES.items():
-        plan = fn(loader(spark, SF_DIR))._jdf.queryExecution().executedPlan()
+        df = entry._mk_doc_query(loader, fn)(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan()
         txt = plan.toString()
         assert "BatchEvalPython" not in txt, name
         assert "ArrowEvalPython" not in txt, name
