@@ -22,10 +22,11 @@ Scale shape (the part that must survive 1000 executors):
 * cells are generated (or scanned) already keyed on ``tile`` and
   repartitioned to the engine's shared tile hash-partitioning, so
   every join below is co-partitioned — no global shuffle;
-* candidate generation before exact refine: cells first meet zones
-  through a tile-local bbox filter (min/max of the zone's
-  way_nodes), and only the surviving (cell, zone) candidates are
-  ray-cast against the polygon edges — the same
+* candidate generation before exact refine: cells meet zones on
+  (tile, raster-row band) keys derived from the zone's bbox — a tile
+  dense with zones costs Σ|bbox bands|×res candidates, not
+  |zones|×res² — then the bbox filter and, for the survivors, the
+  ray cast against the polygon's band-enrolled edges: the same
   candidate→exact-refine shape as the kNN and overlap operators
   (spatial.py);
 * the parity test is the even-odd ray cast of check_0310
@@ -54,6 +55,7 @@ from .tiling import Tile
 
 RES = 64  # raster cells per tile axis
 VAL_MOD = 256  # cell values in [0, 255]
+JBAND = 8  # raster rows per candidate band (the join key unit)
 ZONE_KEYS = ["landuse", "natural", "leisure"]
 
 
@@ -139,8 +141,22 @@ def _zone_edges(v, zone_ids: DataFrame) -> DataFrame:
     )
 
 
+def _band_range(lo_col, hi_col, dy, res: int, jband: int):
+    """(band_lo, band_hi) covering every raster row j whose cell
+    center cy = bottom + (j+0.5)·dy can satisfy lo ≤ cy ≤ hi, widened
+    one row each side (a strict superset — float-slop safe) and
+    clamped to the lattice."""
+    jlo = F.greatest(
+        F.lit(0), F.floor((lo_col - F.col("bottom")) / dy) - 1
+    )
+    jhi = F.least(
+        F.lit(res - 1), F.floor((hi_col - F.col("bottom")) / dy) + 1
+    )
+    return F.floor(jlo / jband), F.floor(jhi / jband)
+
+
 def zonal_stats(spark: SparkSession, dataset_dir: str,
-                res: int = RES) -> DataFrame:
+                res: int = RES, jband: int = JBAND) -> DataFrame:
     """Per-zone raster statistics: (way_id, zone_kind, n_cells,
     sum_val, min_val, max_val, mean_val) over the cells whose center
     lies inside the zone polygon (even-odd ray cast).
@@ -149,27 +165,68 @@ def zonal_stats(spark: SparkSession, dataset_dir: str,
     that tile's (margin-duplicated, completeWays) copy of the way;
     cells are globally unique on (tile, i, j), so the final
     per-way aggregation never double-counts.
+
+    Candidate shape (the 1000-executor contract): cells and zones meet
+    on (tile, jband) — a raster-row band derived from the zone's bbox —
+    not on tile alone, so a tile dense with zones costs
+    Σ_zones |bbox row bands| × res instead of |zones| × res².  The
+    ray-cast join is banded the same way: an edge is enrolled in every
+    band its y-interval (±1 row of float slack) covers, so each
+    candidate cell meets only the edges that can cross its scanline.
+    Both enrollments are strict supersets of the rows/edges that can
+    satisfy the exact predicates (bbox filter / ray crossing), and
+    extra edges contribute zero crossings — the result is provably
+    identical to the unbanded join, which is what the independent
+    DuckDB oracle (oracles.oracle_zonal_stats) computes.
     """
     v = pipeline.tiled_views(spark, dataset_dir)
     tiles = pipeline.dataset_tiles(dataset_dir)
-    cells = raster_cells(spark, tiles, res)
+    cells = raster_cells(spark, tiles, res).withColumn(
+        "jb", F.floor(F.col("j") / jband)
+    )
     zones = _zones(v)
+    tgeo = F.broadcast(
+        spark.createDataFrame(
+            [(t.name, t.top, t.bottom) for t in tiles],
+            "tile string, top double, bottom double",
+        )
+    )
+    dy = (F.col("top") - F.col("bottom")) / res
 
+    def banded(df: DataFrame, lo_col, hi_col) -> DataFrame:
+        b_lo, b_hi = _band_range(lo_col, hi_col, dy, res, jband)
+        return (
+            df.join(tgeo, "tile")
+            .withColumn("_blo", b_lo)
+            .withColumn("_bhi", b_hi)
+            .filter(F.col("_blo") <= F.col("_bhi"))
+            .withColumn(
+                "jb", F.explode(F.sequence(F.col("_blo"), F.col("_bhi")))
+            )
+            .drop("top", "bottom", "_blo", "_bhi")
+        )
+
+    zb = banded(zones, F.col("miny"), F.col("maxy"))
     cand = (
-        cells.join(zones, "tile")
+        cells.join(zb, ["tile", "jb"])
         .filter(
             (F.col("cx") >= F.col("minx"))
             & (F.col("cx") <= F.col("maxx"))
             & (F.col("cy") >= F.col("miny"))
             & (F.col("cy") <= F.col("maxy"))
         )
-        .select("tile", "way_id", "zone_kind", "i", "j", "cx", "cy", "val")
+        .select(
+            "tile", "jb", "way_id", "zone_kind", "i", "j", "cx", "cy", "val"
+        )
     )
-    edges = _zone_edges(v, zones.select("tile", "way_id").distinct())
+    edges = banded(
+        _zone_edges(v, zones.select("tile", "way_id").distinct()),
+        F.least("ay", "by"), F.greatest("ay", "by"),
+    )
 
     # even-odd ray cast (check_0310._ray_cast_count shape): count edge
     # crossings of the +x ray from the cell center; odd => inside
-    j = cand.join(edges, ["tile", "way_id"])
+    j = cand.join(edges, ["tile", "way_id", "jb"])
     crossing = ray_crossing(
         F.col("cx"), F.col("cy"),
         F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"),

@@ -117,3 +117,58 @@ def test_zonal_plan_stays_native(spark, dataset):
     # path (BatchEvalPython) is a plan regression
     plan = raster.zonal_stats(spark, dataset)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_banded_candidates_beat_tilewide(spark, dataset):
+    """The (tile, jband) candidate key must feed strictly fewer rows
+    into the bbox filter and the ray-cast join than the tile-wide
+    shape — the r3 verdict's dense-zone scale concern (zonal candidate
+    generation was |cells|×|zones| per tile)."""
+    from keepright_spark.raster import (
+        JBAND, RES, _band_range, _zone_edges, _zones, raster_cells,
+    )
+
+    v = pipeline.tiled_views(spark, dataset)
+    tiles = pipeline.dataset_tiles(dataset)
+    cells = raster_cells(spark, tiles).withColumn(
+        "jb", F.floor(F.col("j") / JBAND)
+    )
+    zones = _zones(v)
+    tgeo = spark.createDataFrame(
+        [(t.name, t.top, t.bottom) for t in tiles],
+        "tile string, top double, bottom double",
+    )
+    dy = (F.col("top") - F.col("bottom")) / RES
+    blo, bhi = _band_range(F.col("miny"), F.col("maxy"), dy, RES, JBAND)
+    zb = (
+        zones.join(tgeo, "tile").withColumn("_blo", blo)
+        .withColumn("_bhi", bhi).filter(F.col("_blo") <= F.col("_bhi"))
+        .withColumn("jb", F.explode(F.sequence(F.col("_blo"), F.col("_bhi"))))
+    )
+    n_banded = cells.join(zb, ["tile", "jb"]).count()
+    n_tilewide = cells.join(zones, "tile").count()
+    assert 0 < n_banded < n_tilewide / 2, (n_banded, n_tilewide)
+
+    # the ray-cast side: banded candidate×edge rows < unbanded
+    bbox = (
+        (F.col("cx") >= F.col("minx")) & (F.col("cx") <= F.col("maxx"))
+        & (F.col("cy") >= F.col("miny")) & (F.col("cy") <= F.col("maxy"))
+    )
+    cand = cells.join(zb, ["tile", "jb"]).filter(bbox).select(
+        "tile", "jb", "way_id", "i", "j"
+    )
+    edges = _zone_edges(v, zones.select("tile", "way_id").distinct())
+    eb = (
+        edges.join(tgeo, "tile")
+        .withColumn("_blo", _band_range(
+            F.least("ay", "by"), F.greatest("ay", "by"), dy, RES, JBAND)[0])
+        .withColumn("_bhi", _band_range(
+            F.least("ay", "by"), F.greatest("ay", "by"), dy, RES, JBAND)[1])
+        .filter(F.col("_blo") <= F.col("_bhi"))
+        .withColumn("jb", F.explode(F.sequence(F.col("_blo"), F.col("_bhi"))))
+    )
+    n_ray_banded = cand.join(eb, ["tile", "way_id", "jb"]).count()
+    n_ray_tilewide = (
+        cand.drop("jb").join(edges, ["tile", "way_id"]).count()
+    )
+    assert 0 < n_ray_banded < n_ray_tilewide, (n_ray_banded, n_ray_tilewide)
