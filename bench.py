@@ -64,6 +64,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF_NAME = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
 SCALING_SCALE = os.environ.get("KR_BENCH_SCALING_SCALE", "xd")
 REPS = int(os.environ.get("KR_BENCH_REPS", "2"))
+# staged-runner concurrency: measured optimum at scale m / local[32]
+# (min of 2 interleaved reps, 2026-08-18): 4→57.6s, 6→54.2s, 8→54.4s,
+# 12→57.2s — 6-8 is a flat optimum (Δ < host drift), 8 stays default
+MAX_PARALLEL = int(os.environ.get("KR_BENCH_MAX_PARALLEL", "8"))
 CORES_LO = 1
 CORES_MID = 2
 CORES_HI = 4
@@ -91,7 +95,7 @@ def run_suite(dataset: str, cores: int, parts: int, tag: str) -> dict:
                     dataset,
                     str(cores),
                     str(parts),
-                    "8",
+                    str(MAX_PARALLEL),
                 ],
                 stdout=subprocess.PIPE,
                 stderr=log,
@@ -303,6 +307,20 @@ def _write_baseline_md(scale: str, per_query: dict, result: dict) -> None:
             "128 MB partitions keyed on (tile, …) with no driver "
             "collects (test_plans.py gates), so executor count is "
             "the only scaling axis.\n\n"
+            "### Staged-runner concurrency (max_parallel sweep)\n\n"
+            "Measured at scale m, local[32], parts=32, fresh JVM per "
+            "run, 2 interleaved reps, min wall (2026-08-18):\n\n"
+            "| max_parallel | suite sec (min) | reps |\n|---|---|---|\n"
+            "| 4 | 57.6 | 57.6, 66.7 |\n"
+            "| 6 | 54.2 | 54.2, 60.7 |\n"
+            "| 8 | 54.4 | 55.0, 54.4 |\n"
+            "| 12 | 57.2 | 60.7, 57.2 |\n\n"
+            "6-8 is a flat optimum (difference below the measured "
+            "±10-17% host drift); the default stays 8 "
+            "(KR_BENCH_MAX_PARALLEL overrides).  The r3 profile's "
+            "run≫cpu inflation at max_parallel=8 is CPU time-slicing "
+            "across concurrent jobs, not waste: utilization is 0.81 "
+            "and executor-CPU is ~550 s·core against a 54-60s wall.\n\n"
             "### Bench-tail note (DAGScheduler accumulator trace)\n\n"
             "Rounds 1-2 showed a DAGScheduler.updateAccumulators "
             "stack trace in the bench stderr tail.  Triage: it is "

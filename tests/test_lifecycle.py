@@ -151,3 +151,27 @@ def test_published_view(spark, tiny_dir):
         assert r["error_name"] == "multiple nodes on the same spot"
         assert r["user_name"] and r["user_name"].startswith("user_")
         assert r["object_timestamp"] is not None
+
+
+def test_explicit_run_seq_rejects_stale_record(spark, tiny_dir, tmp_path):
+    """Reusing a run record staged for a different world must raise,
+    not silently filter its groups (false-'cleared' hazard)."""
+    state = str(tmp_path / "state")
+    lifecycle.run_persistent(
+        spark, tiny_dir, state, check_ids=[20], tile_group_size=1
+    )
+    mp = os.path.join(state, "run_manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    # a crashed run staged against a different tile scope
+    m["run_2"] = {
+        "groups": [["bogus_tile"]],
+        "scope": ["bogus_tile"],
+        "docs_sig": m["run_1"].get("docs_sig", "x"),
+    }
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="different world"):
+        lifecycle.run_persistent(
+            spark, tiny_dir, state, check_ids=[20], run_seq=2
+        )
