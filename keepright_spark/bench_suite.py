@@ -219,7 +219,9 @@ def main() -> None:
     )
     pipeline.prepare(spark, dataset_dir)  # idempotent, untimed
     t_start = time.time()
-    v = pipeline.tiled_views(spark, dataset_dir, share_partitioning=cache)
+    v = pipeline.tiled_views(
+        spark, dataset_dir, share_partitioning="auto" if cache else False
+    )
     tiles = pipeline.dataset_tiles(dataset_dir)
     timings: dict = {}
     t0 = time.time()

@@ -27,10 +27,17 @@ MSG_BASE = "This $1 uses deprecated tag '$2=$3'"
 MSG_REPL = MSG_BASE + ". Please use &quot;$4&quot; instead!"
 
 
-def _rules_df(spark):
+def _rules_df(spark, wild: bool):
+    """Rule table split by whether ``rk`` carries a LIKE wildcard
+    (``_``/``%``): wildcard-free keys hash-join on plain equality
+    (k LIKE 'literal' ≡ k = 'literal'); only the wildcard keys pay
+    the broadcast nested-loop LIKE join.  On the dense world this
+    cuts the per-tag pattern evaluations ~5× (89 → 18) and moves the
+    bulk of the check into an ordinary broadcast hash join."""
     rows = [
         (idx, k, None if v == "*" else v, repl, len(repl.strip()) > 1)
         for idx, k, v, repl in DEPRECATED_RULES
+        if (("_" in k) or ("%" in k)) == wild
     ]
     return spark.createDataFrame(
         rows, "rule_idx int, rk string, rv string, repl string, has_repl boolean"
@@ -39,15 +46,20 @@ def _rules_df(spark):
 
 def run(v: OsmViews) -> DataFrame:
     spark = v.nodes.sparkSession
-    rules = F.broadcast(_rules_df(spark))
+    rules_eq = F.broadcast(_rules_df(spark, wild=False))
+    rules_like = F.broadcast(_rules_df(spark, wild=True))
     out = None
     for otype in ("node", "way", "relation"):
         tags = tags_of(v, otype)
-        j = tags.join(
-            rules,
-            F.like(F.col("k"), rules.rk)
-            & (rules.rv.isNull() | F.like(F.col("v"), rules.rv)),
+        j_eq = tags.join(rules_eq, F.col("k") == rules_eq.rk).filter(
+            rules_eq.rv.isNull() | F.like(F.col("v"), rules_eq.rv)
         )
+        j_like = tags.join(
+            rules_like,
+            F.like(F.col("k"), rules_like.rk)
+            & (rules_like.rv.isNull() | F.like(F.col("v"), rules_like.rv)),
+        )
+        j = j_eq.unionByName(j_like)
         w = Window.partitionBy("tile", "id").orderBy("rule_idx")
         first = j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
         e = first.select(

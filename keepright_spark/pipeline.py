@@ -225,7 +225,7 @@ def tiled_views(
     dataset_dir: str,
     tiles: list[Tile] | None = None,
     margin_m: float = DEFAULT_MARGIN_M,
-    share_partitioning: bool = True,
+    share_partitioning: bool | str = "auto",
 ) -> OsmViews:
     """Views over the materialized engine tables (prepared on demand).
 
@@ -237,6 +237,18 @@ def tiled_views(
     session.get_spark) and the per-check shuffles disappear — the
     cluster analog is Iceberg tables partitioned+bucketed by tile,
     where the scan itself reports the distribution.
+
+    Exchange elimination is only a win while tiles ≫ partitions: with
+    n_tiles within ~4× of the partition count, tile-hash placement is
+    balls-in-bins lumpy and every reused-partitioning stage funnels
+    whole tiles through single tasks (measured on the 20-tile dense
+    world at 4 cores: 0400 28.9 s → 20.1 s, 0050 23.6 s → 15.7 s by
+    dropping the tile repartition and letting each join shuffle on
+    its full, finer key).  ``share_partitioning="auto"`` (default)
+    therefore caches the views but only applies the shared tile
+    repartition when ``n_tiles ≥ 4 × shuffle_partitions``; ``True``
+    forces it, ``False`` skips caching entirely (per-tile-group runs
+    rely on partition pruning instead).
     """
     out = prepare(spark, dataset_dir, tiles, margin_m)
     seeds = None
@@ -251,17 +263,32 @@ def tiled_views(
             cell_stats = json.load(f).get("cell_stats")
     except (OSError, ValueError):
         pass
+    if cell_stats is not None:
+        # tile count feeds spread()'s lumpy-placement gate (few tiles
+        # hashed into ~as-many partitions → balls-in-bins skew)
+        known = dataset_tiles(dataset_dir)
+        cell_stats = {
+            **cell_stats,
+            "n_tiles": len(known) if known else len(DEFAULT_TILES),
+        }
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_tiles = (cell_stats or {}).get(
+        "n_tiles", len(dataset_tiles(dataset_dir) or DEFAULT_TILES)
+    )
+    if share_partitioning == "auto":
+        cache, tile_repart = True, n_tiles >= 4 * n_part
+    else:
+        cache = tile_repart = bool(share_partitioning)
 
     def _load(path: str) -> DataFrame:
         df = spark.read.parquet(path)
-        if share_partitioning:
+        if cache:
             from pyspark.storagelevel import StorageLevel
 
-            df = df.repartition(n_part, "tile").persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            if tile_repart:
+                df = df.repartition(n_part, "tile")
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
         return df
 
     helpers = {}
@@ -275,7 +302,7 @@ def tiled_views(
         cell_stats=cell_stats,
         **helpers,
     )
-    if share_partitioning:
+    if cache:
         # materialize caches eagerly: the staged runner submits check
         # jobs concurrently, and a cold cache would be computed N times
         # in parallel (wasted work, though not incorrect)

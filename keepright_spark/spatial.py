@@ -252,14 +252,23 @@ def spread(
     EnsureRequirements.
 
     ``stats``: the prepare-time cell census (OsmViews.cell_stats).
-    When it proves no ``stat`` cell exceeds ``hot_limit`` the exchange
-    is skipped — with every bucket cold, per-tile funneling is linear
-    in tile size (the same bound as every other exchange-free (tile,…)
-    join) and the repartition is pure cost: BENCH_r02 measured 0050
-    regress 45.9 s → 75.5 s from two unconditional spread()s on a
-    world with no hot cells.  Provably quadratic self-joins on full
-    segment tables (0190) should keep the unconditional exchange."""
-    if stats is not None and stats.get(stat, hot_limit + 1) <= hot_limit:
-        return df
+    When it proves no ``stat`` cell exceeds ``hot_limit`` AND the
+    world has plenty of tiles per partition, the exchange is skipped —
+    with every bucket cold and tiles ≫ partitions, per-tile funneling
+    is linear in tile size (the same bound as every other
+    exchange-free (tile,…) join) and the repartition is pure cost:
+    BENCH_r02 measured 0050 regress 45.9 s → 75.5 s from two
+    unconditional spread()s on a 176-tile world with no hot cells.
+    But when n_tiles is within ~4× of the partition count, tile-hash
+    placement is balls-in-bins lumpy (measured on the 20-tile dense
+    world at parts=8: one fused 0050 stage carried 84 of 101 s·core
+    with 2.6× task skew), so the bucket-key exchange fires even with
+    cold cells.  Provably quadratic self-joins on full segment tables
+    (0190) should keep the unconditional exchange."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if stats is not None:
+        cold = stats.get(stat, hot_limit + 1) <= hot_limit
+        many_tiles = stats.get("n_tiles", 0) >= 4 * n
+        if cold and many_tiles:
+            return df
     return df.repartition(n, *keys)

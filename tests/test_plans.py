@@ -45,7 +45,9 @@ def test_shared_tile_partitioning_cuts_exchanges(spark, tiny_dir):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        v = pipeline.tiled_views(spark, tiny_dir)
+        # force the shared tile partitioning (auto would skip it on
+        # the 2-tile test world — the low-tile gate is the point)
+        v = pipeline.tiled_views(spark, tiny_dir, share_partitioning=True)
         j = v.way_tags.join(
             v.way_nodes, ["tile", "way_id"]
         ).groupBy("tile", "way_id").count()
