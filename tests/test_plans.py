@@ -92,3 +92,28 @@ def test_broadcast_rules(spark, tiny_dir):
     v = pipeline.tiled_views(spark, tiny_dir)
     plan = _plan(available_checks()[60](v))
     assert "Broadcast" in plan
+
+
+def test_auto_partitioning_skips_repartition_on_low_tile_worlds(spark, tiny_dir):
+    """share_partitioning="auto" must NOT apply the shared tile
+    repartition when tiles are within 4x of the partition count (the
+    2-tile test world): tile-hash placement would funnel whole tiles
+    through single tasks, so each join shuffles on its full key
+    instead."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        v = pipeline.tiled_views(spark, tiny_dir)  # default: auto
+        j = v.way_tags.join(
+            v.way_nodes, ["tile", "way_id"]
+        ).groupBy("tile", "way_id").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    # the views are cached (scan layout) and the join inserts its own
+    # fine-keyed exchange
+    assert "InMemory" in plan
+    assert "ENSURE_REQUIREMENTS" in plan, plan
