@@ -44,12 +44,51 @@ def main() -> None:
         help="run the health assertions (watchdog.php) after the run; "
         "non-zero exit on issues",
     )
+    ap.add_argument(
+        "--ingest-xml",
+        help="materialize the dataset's docs table from raw OSM XML "
+        "(.osm/.osm.bz2/.osm.gz files or glob) before running — the "
+        "osmosis-free planet cut (osm_xml.load_osm_xml)",
+    )
+    ap.add_argument(
+        "--follow",
+        help="instead of one run, follow this replication feed "
+        "directory with Structured Streaming: each parquet drop "
+        "upserts the docs table and triggers a scoped diff cycle "
+        "(streaming.follow_docs_updates); drains what is available "
+        "and exits unless --follow-interval is given",
+    )
+    ap.add_argument(
+        "--follow-interval",
+        help="keep the follower running with this processing-time "
+        "trigger (e.g. '30 seconds')",
+    )
     args = ap.parse_args()
 
     check_ids = (
         [int(c) for c in args.checks.split(",")] if args.checks else None
     )
     spark = get_spark("keepright_spark", cores=args.cores)
+    if args.ingest_xml:
+        from . import osm_xml
+
+        osm_xml.ingest_osm_xml(spark, args.ingest_xml, args.dataset)
+    if args.follow:
+        from . import streaming
+
+        q = streaming.follow_docs_updates(
+            spark, args.dataset, args.state, args.follow,
+            check_ids=check_ids,
+            continuous_interval=args.follow_interval,
+        )
+        q.awaitTermination()
+        cur = lifecycle.current_errors_path(args.state)
+        summary = {"followed": args.follow}
+        if cur:
+            summary["errors_total"] = spark.read.parquet(cur).count()
+        print(json.dumps(summary))
+        spark.stop()
+        return
     if args.diff:
         from . import diff as diff_mod
 

@@ -19,6 +19,10 @@ def test_tag_filter_pushdown(spark, tiny_dir):
     """0100's amenity filter must reach the node_tags parquet scan
     (probed on the uncached views — the shared-partitioning cache
     replaces file scans with InMemoryTableScan)."""
+    # the auto-mode cache registers the bare parquet scans with the
+    # CacheManager, which would substitute InMemoryTableScan into this
+    # uncached probe if an earlier test populated it
+    spark.catalog.clearCache()
     v = pipeline.tiled_views(spark, tiny_dir, share_partitioning=False)
     plan = _plan(available_checks()[100](v))
     assert "PushedFilters" in plan
@@ -30,6 +34,7 @@ def test_tile_partition_pruning(spark, tiny_dir):
     filter must prune at the scan, not post-filter every file."""
     from pyspark.sql import functions as F
 
+    spark.catalog.clearCache()  # see test_tag_filter_pushdown
     v = pipeline.tiled_views(spark, tiny_dir, share_partitioning=False)
     df = v.ways.filter(F.col("tile").isin(["A1"]))
     plan = df._jdf.queryExecution().executedPlan().toString()
