@@ -339,6 +339,7 @@ FROM ranked WHERE rank <= {KNN_K}
 def oracle_emb_cosine_neardups(d: str) -> str:
     from .docops import COSINE_NEARDUP, EMB_DUP_BUCKET_CAP
 
+    masks = "[" + ", ".join(str(m) for m in ann_probe_offsets()) + "]"
     return f"""
 WITH {_NORM_CTE},
 bucketed AS (SELECT vec_id, embedding, norm,
@@ -346,10 +347,14 @@ bucketed AS (SELECT vec_id, embedding, norm,
 capped AS (SELECT * FROM (SELECT *, row_number() OVER
   (PARTITION BY bucket ORDER BY vec_id) AS rn FROM bucketed)
   WHERE rn <= {EMB_DUP_BUCKET_CAP}),
-pairs AS (SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+probed AS (SELECT a.bucket AS ba, a.vec_id, a.embedding, a.norm,
+  xor(a.bucket, m.mask) AS bucket
+  FROM capped a CROSS JOIN (SELECT unnest({masks}) AS mask) m),
+pairs AS (SELECT least(a.ba, b.bucket) AS bucket,
+  a.vec_id AS vec_a, b.vec_id AS vec_b,
   round({_dot_sql("a.embedding", "b.embedding")}
         / greatest(a.norm * b.norm, 1e-12), 6) AS cosine
-  FROM capped a JOIN capped b
+  FROM probed a JOIN capped b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, CAST(bucket AS BIGINT) AS bucket, cosine
 FROM pairs WHERE cosine >= {COSINE_NEARDUP}

@@ -629,7 +629,7 @@ def ann_probe_offsets() -> list[int]:
     """XOR masks of the multi-probe set: every bucket within Hamming
     distance ANN_PROBE_HAMMING of the query's bucket (Lv et al.,
     VLDB'07 multi-probe LSH).  Deterministic ascending order; size
-    sum(C(ANN_PLANES, d) for d <= radius) — 37 for 8 planes, radius 2.
+    sum(C(ANN_PLANES, d) for d <= radius) — 93 for 8 planes, radius 3.
     """
     masks = [
         m for m in range(1 << ANN_PLANES)
@@ -648,7 +648,7 @@ def emb_ann_lsh(emb: DataFrame) -> DataFrame:
     scale; single-probe measured ~0.17 there — near chance).
 
     Scale shape: bucket assignment is map-side; queries explode ×
-    |probe set| (37 for 8 planes / radius 2 — a constant), and the
+    |probe set| (93 for 8 planes / radius 3 — a constant), and the
     candidate join stays hash-shuffled on the bucket id — never
     all-pairs.  Each candidate lives in exactly one bucket and probe
     masks are distinct, so (q_id, n_id) pairs are unique by
@@ -710,28 +710,50 @@ def emb_cosine_neardups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup-side twin of
     emb_ann_lsh: sign-random-projection buckets, deterministic
-    EMB_DUP_BUCKET_CAP per bucket, within-bucket pair join, exact
-    cosine ≥ COSINE_NEARDUP verify.  Each vector lives in exactly one
-    bucket, so pairs are unique by construction (no dedup pass).
+    EMB_DUP_BUCKET_CAP per home bucket, **multi-probe** candidate
+    pairing (the a-side explodes the same ann_probe_offsets() masks
+    the ANN query uses — every bucket within Hamming
+    ANN_PROBE_HAMMING), exact cosine ≥ COSINE_NEARDUP verify.
+
+    Pair uniqueness: each vector lives in exactly one home bucket and
+    exactly one XOR mask maps bucket(a) onto bucket(b), so with the
+    ``vec_a < vec_b`` orientation every unordered candidate pair
+    appears exactly once — no dedup pass.  The emitted ``bucket`` is
+    ``least(bucket_a, bucket_b)`` (deterministic; single-bucket pairs
+    keep their old value).
+
+    Recall: single-bucket probing at cos ≥ 0.95 misses ≈ 1/3 of true
+    pairs ((1-θ/π)^8 ≈ 0.66 at cos 0.99); Hamming-3 multi-probe lifts
+    pair recall to ≥ 0.99 there (Σ_{k≤3} C(8,k) p^k (1-p)^{8-k},
+    p = θ/π) — verified ≥ 0.9 on planted pairs in
+    test_dedup_fixtures.py.
 
     Threshold note: the driver's synthetic embeddings are
     uniform-random — no planted duplicates; the max pairwise cosine
     is ≈0.5 — so COSINE_NEARDUP is set low (0.3) to keep the verify
     stage exercised with real rows at test scale.  A production
     near-dup threshold (~0.95) only makes the final filter more
-    selective; the plan shape (map-side bucket assignment →
-    hash-shuffle on bucket → cap²-bounded pair join) is identical,
-    and recall is governed by the same single-bucket LSH caveat
-    documented on emb_ann_lsh.
+    selective.
+
+    Scale shape: map-side bucket assignment; the a-side explodes by
+    the constant probe-set size (93), the join stays hash-shuffled on
+    the bucket id, and every bucket's candidate list is capped — the
+    pair count is bounded by |probes| × cap per vector, never
+    all-pairs.  Cap overflow is surfaced by dedup_cap_census.
     """
     base = _with_norm(emb).withColumn("bucket", _bucket_expr())
     w = Window.partitionBy("bucket").orderBy("vec_id")
     capped = base.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= EMB_DUP_BUCKET_CAP
     )
+    probes = F.array(*[F.lit(m) for m in ann_probe_offsets()])
     a = capped.select(
-        "bucket", F.col("vec_id").alias("vec_a"),
+        F.col("bucket").alias("ba"),
+        F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"), F.col("norm").alias("na"),
+        F.explode(
+            F.transform(probes, lambda m: F.col("bucket").bitwiseXOR(m))
+        ).alias("bucket"),
     )
     b = capped.select(
         "bucket", F.col("vec_id").alias("vec_b"),
@@ -744,7 +766,7 @@ def emb_cosine_neardups(
     return (
         pairs.select(
             "vec_a", "vec_b",
-            F.col("bucket").cast("long").alias("bucket"),
+            F.least("ba", "bucket").cast("long").alias("bucket"),
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -49,8 +49,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import re
+
 from .errors import TXT_COLS
 from .lifecycle import KEY
+
+# dotted identifier chain (catalog.db.table / temp view name); anything
+# else is rejected rather than interpolated into SQL
+_SQL_NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*")
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -111,6 +117,9 @@ def merge_sql(
     ``source``: a temp view carrying the fresh rows WITH error_id
     already assigned (assign_fresh_ids) and msgid/txt payload columns.
     """
+    for name in (table, source):
+        if not _SQL_NAME.fullmatch(name):
+            raise ValueError(f"unsafe SQL identifier: {name!r}")
     on = " AND ".join(f"t.{k} <=> s.{k}" for k in KEY)
     decades = " OR ".join(
         f"(t.error_type BETWEEN {cid} AND {cid + 9})"
@@ -118,7 +127,10 @@ def merge_sql(
     )
     scope = f"({decades})"
     if tile_scope is not None:
-        tiles = ", ".join(f"'{t}'" for t in tile_scope)
+        # tile names are data, not identifiers: escape single quotes so
+        # a hostile/odd tile name cannot break (or inject into) the MERGE
+        tiles = ", ".join("'" + t.replace("'", "''") + "'"
+                          for t in tile_scope)
         scope += f" AND t.tile IN ({tiles})"
     payload = ", ".join(
         [f"t.msgid = s.msgid"]

@@ -141,9 +141,10 @@ def _neardup_embs() -> pd.DataFrame:
 def test_cosine_neardups_at_production_threshold(spark):
     emb = spark.createDataFrame(_neardup_embs())
     out = docops.emb_cosine_neardups(emb, threshold=0.95).toPandas()
-    # single-bucket LSH recall at cos≈0.99 is (1-θ/π)^8 ≈ 0.66; the
-    # planted 30 pairs are deterministic, so the found subset is too
-    assert len(out) >= 8
+    # Hamming-3 multi-probe pair recall at cos≈0.99 is
+    # Σ_{k≤3} C(8,k) p^k (1-p)^{8-k} ≈ 0.999 (p = θ/π ≈ 0.046);
+    # single-bucket probing measured only ≈0.66 on these fixtures
+    assert len(out) >= 27  # ≥0.9 of the 30 planted pairs
     assert (out["cosine"] >= 0.95).all()
     # planted pairs are (2k, 2k+1); nothing else reaches 0.95
     assert ((out["vec_b"] - out["vec_a"]) == 1).all()
