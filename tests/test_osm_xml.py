@@ -119,6 +119,37 @@ def test_xml_roundtrip_decodes_to_identical_views(spark, tiny_dir, tmp_path):
     assert n_bz2 == docs.count()
 
 
+def test_multi_file_ingest_parallelism(spark, tiny_dir, tmp_path):
+    """Path-based ingest: N files fan out to N parse tasks (only paths
+    are distributed, each task streams its own file), and a gzip copy
+    parses identically to the plain file."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    docs = pipeline.load_docs(spark, tiny_dir)
+    base = codec.decode(docs)
+    xml_path = str(tmp_path / "w0.osm")
+    _write_xml(base, xml_path)
+    with open(xml_path, "rb") as f:
+        raw = f.read()
+    for i in (1, 2):
+        with open(str(tmp_path / f"w{i}.osm"), "wb") as f:
+            f.write(raw)
+    with open(str(tmp_path / "w3.osm.gz"), "wb") as f:
+        f.write(gzip.compress(raw))
+
+    out = osm_xml.load_osm_xml(spark, str(tmp_path / "w*.osm*"))
+    per_part = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    n_docs = docs.count()
+    # one task per file, each carrying one full copy of the world
+    assert len(per_part) == 4
+    assert all(r["count"] == n_docs for r in per_part)
+
+
 def test_ingested_dataset_runs_checks(spark, tiny_dir, tmp_path):
     """A dataset directory materialized from XML must run the check
     pipeline end-to-end (MANIFEST copied so tiling matches)."""
