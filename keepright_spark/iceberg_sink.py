@@ -160,6 +160,44 @@ WHEN NOT MATCHED BY SOURCE AND {scope} AND t.state <> 'cleared'
   THEN UPDATE SET t.state = 'cleared', t.last_checked = {run_seq}"""
 
 
+def docs_merge_sql(table: str, source: str) -> str:
+    """The MERGE INTO statement for one replication-docs upsert — the
+    cluster twin of ``docs_store.upsert`` (sandbox: bucket-scoped
+    parquet rewrite + atomic manifest commit).  ``table`` is an
+    Iceberg table partitioned by ``bucket(N, doc_id)`` so the MERGE
+    touches only data files of partitions containing batch doc_ids —
+    the same partition-level-rewrite the parquet store emulates.
+
+    ``source``: a temp view with one row per doc_id (the deduped
+    batch); an empty ``spans`` array is a tombstone (reference: the
+    osmosis diff apply deletes removed objects, checks/planet.php:
+    48-129)."""
+    for name in (table, source):
+        if not _SQL_NAME.fullmatch(name):
+            raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return f"""MERGE INTO {table} t
+USING {source} s
+ON t.doc_id = s.doc_id
+WHEN MATCHED AND size(s.spans) = 0 THEN DELETE
+WHEN MATCHED THEN UPDATE SET t.spans = s.spans
+WHEN NOT MATCHED AND size(s.spans) > 0
+  THEN INSERT (doc_id, spans) VALUES (s.doc_id, s.spans)"""
+
+
+def merge_docs(spark: SparkSession, table: str, batch: DataFrame) -> None:
+    """Execute one docs upsert against an Iceberg ``table`` — raises
+    without an Iceberg runtime (this sandbox has none; docs_store is
+    the tested local twin)."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "no Iceberg runtime on the classpath; use "
+            "docs_store.upsert (bucketed parquet) or add "
+            "iceberg-spark-runtime + a catalog to the session conf"
+        )
+    batch.dropDuplicates(["doc_id"]).createOrReplaceTempView("_kr_docs_batch")
+    spark.sql(docs_merge_sql(table, "_kr_docs_batch"))
+
+
 def merge_sync_errors(
     spark: SparkSession,
     table: str,

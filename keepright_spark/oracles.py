@@ -35,9 +35,14 @@ NULLTXT = "CAST(NULL AS VARCHAR)"
 NULLD = "CAST(NULL AS DOUBLE)"
 
 
-def preamble(d: str) -> str:
+def preamble(d: str, table_sql: dict[str, str] | None = None) -> str:
+    """The oracle-view CTE block.  ``table_sql`` optionally replaces
+    a view's SELECT (used by oracle_follower_cycle to re-derive the
+    world with planted tombstones applied)."""
+    table_sql = table_sql or {}
     return ",\n".join(
-        f"{t} AS (SELECT * FROM read_parquet('{d}/oracle/{t}.parquet'))"
+        f"{t} AS ({table_sql[t]})" if t in table_sql
+        else f"{t} AS (SELECT * FROM read_parquet('{d}/oracle/{t}.parquet'))"
         for t in ORACLE_TABLES
     )
 
@@ -224,15 +229,16 @@ def _finalize(d: str) -> str:
     return _FINALIZE_HEAD + steps + _FINALIZE_TAIL.format(last=last)
 
 
-def wrap(d: str, body_ctes: str) -> str:
+def wrap(d: str, body_ctes: str,
+         table_sql: dict[str, str] | None = None) -> str:
     """WITH <views>, <body ctes ending in err>, <finalize>."""
-    return f"WITH {preamble(d)},\n{body_ctes},\n{_finalize(d)}"
+    return f"WITH {preamble(d, table_sql)},\n{body_ctes},\n{_finalize(d)}"
 
 
 # ---------------------------------------------------------------------------
 
 
-def oracle_0020(d: str) -> str:
+def oracle_0020(d: str, table_sql: dict[str, str] | None = None) -> str:
     msg = "'There is more than one node in this spot. Offending node IDs: $1'"
     body = f"""
 elev AS (
@@ -255,7 +261,51 @@ err AS (
         WHERE e.tile=d.tile AND e.lon=d.lon AND e.lat=d.lat))
     GROUP BY n.tile, d.lon, d.lat
 )"""
-    return wrap(d, body)
+    return wrap(d, body, table_sql)
+
+
+# number of planted orphan-node tombstones in the follower-cycle entry
+FOLLOWER_TOMBSTONES = 3
+
+
+def follower_tombstone_sql(d: str) -> str:
+    """The deterministic tombstone pick shared by the engine query
+    and this oracle: the FOLLOWER_TOMBSTONES smallest node ids that
+    (a) no way or relation references (orphans — removing them cannot
+    change way/relation tiling, so the post-drop world equals the
+    oracle views with these nodes filtered out) and (b) share their
+    (tile, lon, lat) spot with another node — so the drop provably
+    MOVES the 0020 error set (roster/anchor changes), not just
+    re-proves a no-op cycle."""
+    nodes = f"read_parquet('{d}/oracle/nodes.parquet')"
+    return (
+        f"SELECT DISTINCT n.id FROM {nodes} n "
+        f"JOIN (SELECT tile, lon, lat FROM {nodes} "
+        f"GROUP BY tile, lon, lat HAVING COUNT(id) > 1) dup "
+        f"USING (tile, lon, lat) "
+        f"WHERE n.id NOT IN (SELECT node_id FROM "
+        f"read_parquet('{d}/oracle/way_nodes.parquet')) "
+        f"AND n.id NOT IN (SELECT member_id FROM "
+        f"read_parquet('{d}/oracle/relation_members.parquet') "
+        f"WHERE member_type='N') "
+        f"ORDER BY n.id LIMIT {FOLLOWER_TOMBSTONES}"
+    )
+
+
+def oracle_follower_cycle(d: str) -> str:
+    """From-scratch 0020 over the world with the planted tombstones
+    applied — what the follower's live (non-cleared) error set must
+    equal after one replication cycle (streaming.process_available on
+    a drop that deletes those docs).  Only nodes/node_tags change: the
+    tombstones are orphan nodes by construction."""
+    tomb = follower_tombstone_sql(d)
+    return oracle_0020(d, table_sql={
+        "nodes": f"SELECT * FROM read_parquet('{d}/oracle/nodes.parquet') "
+                 f"WHERE id NOT IN ({tomb})",
+        "node_tags": f"SELECT * FROM "
+                     f"read_parquet('{d}/oracle/node_tags.parquet') "
+                     f"WHERE node_id NOT IN ({tomb})",
+    })
 
 
 def _sq(s: str) -> str:
@@ -2550,7 +2600,9 @@ QUOTED_TAG_LIST_SQL_0220 = (
 
 
 def _media_preamble(d: str) -> str:
-    return f"""docs AS (SELECT * FROM read_parquet('{d}/docs.parquet')),
+    from .docs_store import duckdb_docs_source
+
+    return f"""docs AS (SELECT * FROM read_parquet({duckdb_docs_source(d)})),
 sp AS (SELECT doc_id, UNNEST(spans) AS s FROM docs),
 m AS (SELECT split_part(doc_id,'/',1) AS object_type,
              CAST(split_part(doc_id,'/',2) AS BIGINT) AS id, doc_id,

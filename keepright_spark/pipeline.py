@@ -44,6 +44,13 @@ VIEW_NAMES = [
 
 
 def load_docs(spark: SparkSession, dataset_dir: str) -> DataFrame:
+    """Docs table in either layout: the bucketed store (after any
+    streaming upsert — docs_store.py) or the generator/ingest plain
+    ``docs.parquet``."""
+    from . import docs_store
+
+    if docs_store.read_manifest(dataset_dir) is not None:
+        return docs_store.read_docs(spark, dataset_dir)
     return spark.read.parquet(f"{dataset_dir}/docs.parquet")
 
 
@@ -142,7 +149,14 @@ def _cell_census(spark: SparkSession, out: str) -> dict:
     bbox-cell joins too: a cell crossed by many long segments whose
     midpoints lie elsewhere reads exactly as hot as the join will see
     it.  Node occupancy stays midpoint(point)-based, matching
-    point_cells consumers."""
+    point_cells consumers.
+
+    The bbox is padded with the LARGEST pad any 64 m-cell consumer
+    enrolls with (check_0050's RADIUS) so the census stays a true
+    upper bound for padded joins: without the pad, a world whose
+    segments cluster just under the hot limit could read cold here
+    while 0050's padded enrollment pushes the same cells hot."""
+    from .checks.check_0050 import RADIUS as MAX_CONSUMER_PAD_M
     from .spatial import bbox_cells, point_cells
 
     nodes = spark.read.parquet(f"{out}/nodes.parquet")
@@ -160,7 +174,7 @@ def _cell_census(spark: SparkSession, out: str) -> dict:
                 bbox_cells(
                     F.least("ax", "bx"), F.least("ay", "by"),
                     F.greatest("ax", "bx"), F.greatest("ay", "by"),
-                    64.0, 0.0,
+                    64.0, MAX_CONSUMER_PAD_M,
                 )
             ).alias("c"),
         )
@@ -178,8 +192,15 @@ def _docs_signature(dataset_dir: str) -> str:
     files, so a stale engine dir is re-materialized automatically."""
     import hashlib
 
-    docs = os.path.join(dataset_dir, "docs.parquet")
+    from . import docs_store
+
     h = hashlib.sha256()
+    store_entries = docs_store.signature_entries(dataset_dir)
+    if store_entries is not None:
+        for name, size, mtime_ns in store_entries:
+            h.update(f"{name}:{size}:{mtime_ns}".encode())
+        return h.hexdigest()[:16]
+    docs = os.path.join(dataset_dir, "docs.parquet")
     if os.path.isdir(docs):
         for root, _dirs, files in sorted(os.walk(docs)):
             for fn in sorted(files):
@@ -197,7 +218,7 @@ def _docs_signature(dataset_dir: str) -> str:
 # oneways / lengths / segments reads the parquet instead of re-running
 # the shared aggregation (saves ~4 stages per consuming check job)
 HELPER_NAMES = ["h_layers", "h_oneways", "h_lengths", "h_segments"]
-ENGINE_VERSION = 5  # 5: seg census over bbox-covered cells
+ENGINE_VERSION = 6  # 6: seg census pad = largest consumer pad (0050 RADIUS)
 
 
 def _write_helpers(spark: SparkSession, out: str, n_files: int) -> None:

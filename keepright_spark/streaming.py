@@ -25,7 +25,10 @@ already idempotent — run_persistent resumes by manifest, sync_errors
 swaps an atomic pointer, and re-processing an already-applied drop
 yields zero changed fingerprints → zero re-run scope.  On a cluster
 both the docs table and the errors table are Iceberg (MERGE INTO —
-iceberg_sink.py); here the docs upsert is a versioned-directory swap.
+iceberg_sink.py); here the docs upsert is bucket-scoped with one
+atomic manifest commit (docs_store.py) — only buckets containing
+batch doc_ids are rewritten, untouched bucket files stay
+byte-identical.
 
 ``process_available(...)`` runs with ``trigger(availableNow=True)``:
 it drains everything currently in the feed directory and stops — the
@@ -36,47 +39,27 @@ long-lived follower instead.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from . import diff, pipeline
+from . import diff, docs_store
 from .osm_xml import DOCS_SCHEMA
 
 
 def upsert_docs(spark: SparkSession, dataset_dir: str,
-                batch: DataFrame) -> None:
-    """Merge one replication batch into ``<dataset_dir>/docs.parquet``.
+                batch: DataFrame) -> list[int]:
+    """Merge one replication batch into the dataset's docs table.
 
     Last-writer-wins per doc_id within the batch is not defined (a
     well-formed drop carries one row per doc); an empty spans array
-    deletes the doc.  The write is a versioned-directory swap — the
-    production analog is one Iceberg ``MERGE INTO`` on doc_id.
-    """
-    docs_path = os.path.join(dataset_dir, "docs.parquet")
-    cur = spark.read.parquet(docs_path)
-    b = batch.dropDuplicates(["doc_id"])
-    merged = (
-        cur.join(b.select("doc_id"), "doc_id", "left_anti")
-        .unionByName(b.filter(F.size("spans") > 0))
-    )
-    def _rm(path: str) -> None:
-        if os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
-        elif os.path.exists(path):
-            os.remove(path)
-
-    tmp = docs_path + ".next"
-    _rm(tmp)
-    merged.write.mode("overwrite").parquet(tmp)
-    # docs.parquet may be a single file (generator output) or a
-    # directory (previous upsert) — the swap handles both
-    old = docs_path + ".old"
-    _rm(old)
-    os.rename(docs_path, old)
-    os.rename(tmp, docs_path)
-    _rm(old)
+    deletes the doc.  The write is bucket-scoped (docs_store.upsert):
+    only buckets containing batch doc_ids are read or rewritten —
+    O(|batch|), never O(|docs|) — and the commit is one atomic
+    manifest rename (no crash window without a docs table).  The
+    production analog is one Iceberg ``MERGE INTO`` on a
+    bucket(doc_id)-partitioned table (iceberg_sink.docs_merge_sql).
+    Returns the touched bucket list."""
+    return docs_store.upsert(spark, dataset_dir, batch)
 
 
 def follow_docs_updates(

@@ -107,16 +107,29 @@ def run_watchdog(
     now = time.time() if now is None else now
     issues: list[str] = []
 
-    # input file size + age (watchdog.php:39-53)
-    docs = os.path.join(dataset_dir, "docs.parquet")
-    if not os.path.exists(docs):
-        issues.append(f"input docs table not found: {docs}")
+    # input file size + age (watchdog.php:39-53) — the docs table is
+    # either plain docs.parquet or the bucketed store (docs_store.py);
+    # for the store, size/age walk only manifest-referenced buckets so
+    # crash orphans cannot mask staleness
+    from . import docs_store
+
+    paths = None
+    if docs_store.read_manifest(dataset_dir) is not None:
+        paths = docs_store.bucket_paths(dataset_dir)
     else:
-        size = _dir_bytes(docs)
+        docs = os.path.join(dataset_dir, "docs.parquet")
+        if os.path.exists(docs):
+            paths = [docs]
+    if paths is None:
+        issues.append(
+            f"input docs table not found: {dataset_dir}/docs.parquet"
+        )
+    else:
+        size = sum(_dir_bytes(p) for p in paths)
         if size < cfg["docs_minimum_bytes"]:
             issues.append(f"input docs table is too small. Size is {size}")
-        mt = _newest_mtime(docs)
-        if mt is not None and mt < now - cfg["state_max_age_sec"]:
+        mts = [m for m in (_newest_mtime(p) for p in paths) if m is not None]
+        if mts and max(mts) < now - cfg["state_max_age_sec"]:
             issues.append(
                 "input docs table is older than "
                 f"{cfg['state_max_age_sec'] // 86400} days"

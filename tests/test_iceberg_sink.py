@@ -33,6 +33,18 @@ def test_merge_sql_covers_all_three_branches():
     assert "BETWEEN 410 AND 419" in sql
 
 
+def test_docs_merge_sql_tombstone_semantics():
+    """The docs MERGE twin of docs_store.upsert: replace on match,
+    DELETE on empty-spans tombstone, INSERT only non-tombstones."""
+    sql = iceberg_sink.docs_merge_sql("cat.db.docs", "batch")
+    assert "ON t.doc_id = s.doc_id" in sql
+    assert "WHEN MATCHED AND size(s.spans) = 0 THEN DELETE" in sql
+    assert "WHEN MATCHED THEN UPDATE SET t.spans = s.spans" in sql
+    assert "WHEN NOT MATCHED AND size(s.spans) > 0" in sql
+    with pytest.raises(ValueError):
+        iceberg_sink.docs_merge_sql("cat.db.docs; DROP TABLE x", "batch")
+
+
 def test_assign_fresh_ids_matches_parquet_sink(spark):
     """The MERGE sink's id rule must reproduce sync_errors' ids."""
     rows = [

@@ -22,9 +22,11 @@ LIVE_COLS = ["tile", "error_type", "object_type", "object_id", "lat",
 
 def _clone_dataset(src: str, dst: str) -> str:
     os.makedirs(dst, exist_ok=True)
-    # docs.parquet is a single file from the generator, a directory
-    # after a streaming upsert
-    if os.path.isdir(f"{src}/docs.parquet"):
+    # docs live as a single generator file, a directory, or (after a
+    # streaming upsert) the bucketed store
+    if os.path.isdir(f"{src}/docs_store"):
+        shutil.copytree(f"{src}/docs_store", f"{dst}/docs_store")
+    elif os.path.isdir(f"{src}/docs.parquet"):
         shutil.copytree(f"{src}/docs.parquet", f"{dst}/docs.parquet")
     else:
         shutil.copy(f"{src}/docs.parquet", f"{dst}/docs.parquet")
@@ -95,3 +97,95 @@ def test_stream_drop_updates_errors(spark, tmp_path):
     streaming.process_available(spark, ds, state, feed, check_ids=CHECKS)
     after = _live(spark.read.parquet(lifecycle.current_errors_path(state)))
     assert after == before
+
+
+def _store_file_bytes(ds: str):
+    """{bucket: {relpath: bytes}} over manifest-referenced files."""
+    from keepright_spark import docs_store
+
+    man = docs_store.read_manifest(ds)
+    root = docs_store.store_root(ds)
+    out: dict = {}
+    for t, d in man["buckets"].items():
+        p = os.path.join(root, d)
+        for fn in sorted(os.listdir(p)):
+            with open(os.path.join(p, fn), "rb") as f:
+                out.setdefault(t, {})[f"{d}/{fn}"] = f.read()
+    return out
+
+
+def test_upsert_is_bucket_scoped(spark, tmp_path):
+    """An upsert rewrites ONLY buckets containing batch doc_ids —
+    every untouched bucket's files stay byte-identical (same relative
+    paths, same bytes), and tombstones flow through."""
+    from keepright_spark import docs_store
+
+    tiny = ensure_dataset("t")
+    ds = _clone_dataset(tiny, str(tmp_path / "ds"))
+    docs = pipeline.load_docs(spark, ds)
+    total = docs.count()
+    all_ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    docs_store.migrate(spark, ds)
+    before = _store_file_bytes(ds)
+    assert docs_store.read_docs(spark, ds).count() == total
+
+    # batch: replace one doc with itself + tombstone another
+    keep_id, kill_id = all_ids[0], all_ids[1]
+    batch = pipeline.load_docs(spark, ds).filter(
+        F.col("doc_id").isin([keep_id, kill_id])
+    )
+    schema = batch.schema["spans"].dataType
+    batch = batch.withColumn(
+        "spans",
+        F.when(F.col("doc_id") == kill_id,
+               F.expr("array()").cast(schema)).otherwise(F.col("spans")),
+    )
+    touched = docs_store.upsert(spark, ds, batch)
+    assert 1 <= len(touched) <= 2
+
+    after = _store_file_bytes(ds)
+    untouched = [t for t in before if int(t) not in touched]
+    assert untouched, "test world too small: every bucket touched"
+    for t in untouched:
+        assert after[t] == before[t]
+    # touched buckets really did move (new version dirs)
+    for t in touched:
+        assert set(after[str(t)].keys()) != set(before[str(t)].keys())
+
+    # table contents: kill_id gone, everything else intact
+    now = pipeline.load_docs(spark, ds)
+    assert now.count() == total - 1
+    assert now.filter(F.col("doc_id") == kill_id).count() == 0
+    assert now.filter(F.col("doc_id") == keep_id).count() == 1
+
+    # the docs signature moved (diff scoping sees the upsert)
+    assert docs_store.signature_entries(ds) is not None
+
+
+def test_store_manifest_is_the_authority(spark, tmp_path):
+    """A crash between manifest commit and plain-file removal leaves
+    both docs.parquet and the store; readers and re-migration prefer
+    the store and drop the stale plain file."""
+    from keepright_spark import docs_store
+
+    tiny = ensure_dataset("t")
+    ds = _clone_dataset(tiny, str(tmp_path / "ds"))
+    total = pipeline.load_docs(spark, ds).count()
+    docs_store.migrate(spark, ds)
+
+    # simulate the crash leftover: a stale plain file reappears
+    stale = os.path.join(ds, "docs.parquet")
+    with open(stale, "wb") as f:
+        f.write(b"not a parquet file")
+    assert pipeline.load_docs(spark, ds).count() == total  # store wins
+    docs_store.migrate(spark, ds)  # idempotent; sweeps the leftover
+    assert not os.path.exists(stale)
+
+    # orphaned staging dirs are swept by the next upsert
+    orphan = os.path.join(docs_store.store_root(ds), "stage_v99")
+    os.makedirs(orphan, exist_ok=True)
+    docs_store.upsert(
+        spark, ds, pipeline.load_docs(spark, ds).limit(1)
+    )
+    assert not os.path.isdir(orphan)
