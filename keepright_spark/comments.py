@@ -20,7 +20,7 @@ ignored rows dropped unless explicitly requested.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 COMMENTS_SCHEMA = (
@@ -100,6 +100,47 @@ def error_counts(published: DataFrame) -> DataFrame:
     (webUpdateServer.php:414-418)."""
     return published.groupBy("tile", "error_type").agg(
         F.count("error_id").alias("error_count")
+    )
+
+
+STATS_SCHEMA = "tile string, error_type int, count long, date long"
+
+
+def error_statistics_fill(
+    stats: DataFrame | None, errors: DataFrame, date: int
+) -> DataFrame:
+    """One timeline fill step (stats/generate_error_timeline.php -f:
+    ``INSERT INTO error_statistics SELECT schema, error_type,
+    COUNT(1), now() FROM error_view GROUP BY ...``): append the
+    current per-(tile, error_type) live-error counts stamped with
+    ``date`` (the engine uses run_seq; epoch seconds work equally).
+    The reference's ``schema`` is the tile here, as everywhere else.
+
+    Append-only — each fill is one partial aggregate of the live
+    errors (map-side combinable groupBy); the stats table grows by
+    |tiles|x|types| rows per run, never rewritten."""
+    snap = (
+        errors.filter(F.col("state") != "cleared")
+        .groupBy("tile", "error_type")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("date", F.lit(date).cast("long"))
+    )
+    return snap if stats is None else stats.unionByName(snap)
+
+
+def error_timeline(stats: DataFrame) -> DataFrame:
+    """The per-(date, error_type) count time-series with the change
+    vs the previous snapshot — the table the reference renders per
+    schema row-pair (stats/generate_error_timeline.php:80-96 reads
+    the two newest dates as Errors/LastRun/RunBefore; errorstat.php
+    plots the full series).  One groupBy + one lag window over the
+    tiny aggregate."""
+    per_date = stats.groupBy("date", "error_type").agg(
+        F.sum("count").alias("count")
+    )
+    w = Window.partitionBy("error_type").orderBy("date")
+    return per_date.withColumn(
+        "delta", F.col("count") - F.lag("count").over(w)
     )
 
 

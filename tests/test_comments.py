@@ -55,3 +55,43 @@ def test_error_counts_and_schemata(spark):
     rows = {r["tile"]: r for r in sch.collect()}
     assert rows["A1"]["left_padded"] < rows["A1"]["left"]
     assert rows["A1"]["right_padded"] > rows["A1"]["right"]
+
+
+def test_error_statistics_timeline(spark):
+    """The stats fill + timeline surface
+    (stats/generate_error_timeline.php / errorstat.php): each fill
+    appends per-(tile, error_type) live counts at a date; the
+    timeline sums per (date, type) and deltas vs the previous
+    snapshot."""
+    from pyspark.sql import functions as F
+
+    def errs(rows):
+        return spark.createDataFrame(
+            rows, "tile string, error_type int, state string"
+        )
+
+    # run 1: three live, one cleared (cleared rows are not counted —
+    # the reference fills from error_view, which carries live errors)
+    s1 = cm.error_statistics_fill(
+        None,
+        errs([("A1", 20, "new"), ("A1", 20, "new"), ("A2", 40, "new"),
+              ("A2", 20, "cleared")]),
+        date=1,
+    )
+    # run 2: one 20 fixed, one 40 appears on A1
+    s2 = cm.error_statistics_fill(
+        s1,
+        errs([("A1", 20, "reopened"), ("A2", 40, "new"),
+              ("A1", 40, "new")]),
+        date=2,
+    )
+    got = {
+        (r["date"], r["error_type"]): (r["count"], r["delta"])
+        for r in cm.error_timeline(s2).collect()
+    }
+    assert got == {
+        (1, 20): (2, None), (1, 40): (1, None),
+        (2, 20): (1, -1), (2, 40): (2, 1),
+    }
+    # append-only: the run-1 snapshot rows are still in the table
+    assert s2.filter(F.col("date") == 1).count() == 2
