@@ -124,6 +124,83 @@ def _mk_doc_query(loader, fn) -> Callable[[SparkSession, str], DataFrame]:
     return q
 
 
+def _follower_cycle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 / the streaming follower as a driver-verified row: clone the
+    dataset, run an initial cycle, plant a deterministic tombstone
+    drop (the FOLLOWER_TOMBSTONES smallest orphan node ids — the same
+    rule as oracles.follower_tombstone_sql), drain ONE follower cycle
+    (streaming.process_available), and return the live error set.
+    The oracle is from-scratch 0020 over the merged world — green
+    means the incremental path converges to the batch path."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from keepright_spark import diff, lifecycle, streaming
+    from keepright_spark.datagen import DATA_ROOT
+    from keepright_spark.errors import ERROR_COLS
+    from keepright_spark.oracles import FOLLOWER_TOMBSTONES
+
+    scale = scale_for_sf_dir(sf_dir)
+    src = ensure_dataset(scale)
+    work = os.path.join(DATA_ROOT, f"follower_{scale}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    if os.path.isdir(os.path.join(src, "docs.parquet")):
+        shutil.copytree(os.path.join(src, "docs.parquet"),
+                        os.path.join(work, "docs.parquet"))
+    else:
+        shutil.copy(os.path.join(src, "docs.parquet"), work)
+    shutil.copy(os.path.join(src, "MANIFEST.json"), work)
+    state = os.path.join(work, "state")
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    diff.diff_update(spark, work, state, check_ids=[20])
+
+    # tombstones: smallest orphan node ids in a duplicate spot — no
+    # way/relation refs (the drop cannot move way/relation tiling),
+    # and each sits where another node does, so the 0020 set provably
+    # changes (same rule as oracles.follower_tombstone_sql)
+    nodes = spark.read.parquet(f"{src}/oracle/nodes.parquet")
+    wn = spark.read.parquet(f"{src}/oracle/way_nodes.parquet")
+    rm = spark.read.parquet(f"{src}/oracle/relation_members.parquet")
+    dup_spots = (
+        nodes.groupBy("tile", "lon", "lat")
+        .agg(F.count("id").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("tile", "lon", "lat")
+    )
+    orphans = (
+        nodes.join(dup_spots, ["tile", "lon", "lat"])
+        .select("id").distinct()
+        .join(wn.select(F.col("node_id").alias("id")).distinct(),
+              "id", "left_anti")
+        .join(rm.filter(F.col("member_type") == "N")
+              .select(F.col("member_id").alias("id")).distinct(),
+              "id", "left_anti")
+        .orderBy("id")
+        .limit(FOLLOWER_TOMBSTONES)
+    )
+    ids = [r["id"] for r in orphans.collect()]
+    spans_t = pipeline.load_docs(spark, work).schema["spans"].dataType
+    batch = (
+        spark.createDataFrame([(f"node/{i}",) for i in ids],
+                              "doc_id string")
+        .withColumn("spans", F.expr("array()").cast(spans_t))
+    )
+    drop_tmp = os.path.join(work, "drop")
+    batch.coalesce(1).write.mode("overwrite").parquet(drop_tmp)
+    for fn in os.listdir(drop_tmp):
+        if fn.endswith(".parquet"):
+            shutil.copy(os.path.join(drop_tmp, fn),
+                        os.path.join(feed, "drop1_" + fn))
+    streaming.process_available(spark, work, state, feed, check_ids=[20])
+
+    errs = spark.read.parquet(lifecycle.current_errors_path(state))
+    return errs.filter(F.col("state") != "cleared").select(*ERROR_COLS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ensure_dataset("s")  # the oracle side reads files from disk
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -135,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _mk_doc_query(loader, fn)
     for name, (rfn, _oname) in RASTER_QUERIES.items():
         out[name] = _mk_raster_query(rfn)
+    out["kr_follower_cycle"] = _follower_cycle_query
     return out
 
 
@@ -149,4 +227,5 @@ def oracle_sql() -> dict[str, str]:
         out[name] = getattr(doc_oracles, oname)(d)
     for name, (_rfn, oname) in RASTER_QUERIES.items():
         out[name] = getattr(oracles, oname)(d)
+    out["kr_follower_cycle"] = oracles.oracle_follower_cycle(d)
     return out
