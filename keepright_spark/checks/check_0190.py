@@ -283,6 +283,15 @@ def run(v: OsmViews) -> DataFrame:
         )
         .distinct()
     )
+    # Materialization mechanism A/B'd (r5: solo xd @4 cores, fresh JVM,
+    # 2 interleaved reps): localCheckpoint 32.8/44.7 s vs
+    # persist(MEMORY_AND_DISK)+count 48.9/47.7 s — the columnar cache
+    # build + 5-consumer decompress loses to row-block storage on this
+    # narrow all-numeric frame, so the checkpoint stays.  Pure lazy
+    # exchange reuse is not available either: per-consumer column
+    # pruning pushes different projections below the distinct, the
+    # subplans stop being identical, and geom recomputes per consumer
+    # (~5x the check's wall, measured r2).
     geom = stable_checkpoint(geom)
 
     # --- per-pair classification -------------------------------------
