@@ -63,12 +63,35 @@ def main() -> None:
         help="keep the follower running with this processing-time "
         "trigger (e.g. '30 seconds')",
     )
+    ap.add_argument(
+        "--timeline",
+        action="store_true",
+        help="print the error-statistics time-series (per run_seq and "
+        "error_type, with delta vs previous run — "
+        "stats/generate_error_timeline.php) instead of running",
+    )
     args = ap.parse_args()
 
     check_ids = (
         [int(c) for c in args.checks.split(",")] if args.checks else None
     )
     spark = get_spark("keepright_spark", cores=args.cores)
+    if args.timeline:
+        from . import comments as cm
+
+        stats = lifecycle.load_error_statistics(spark, args.state)
+        rows = (
+            cm.error_timeline(stats)
+            .orderBy("date", "error_type")
+            .collect()
+        )
+        print(json.dumps([
+            {"date": r["date"], "error_type": r["error_type"],
+             "count": r["count"], "delta": r["delta"]}
+            for r in rows
+        ]))
+        spark.stop()
+        return
     if args.ingest_xml:
         from . import osm_xml
 

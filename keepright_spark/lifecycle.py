@@ -479,6 +479,17 @@ def run_persistent(
     node_density(v).write.mode("overwrite").parquet(
         os.path.join(state_dir, "node_density.parquet")
     )
+    # error-statistics timeline fill (generate_error_timeline.php -f):
+    # one snapshot dir per run_seq — overwrite makes re-running a
+    # crashed commit idempotent, the directory stays append-only
+    # across runs; comments.error_timeline reads the union
+    from .comments import error_statistics_fill
+
+    error_statistics_fill(None, new_errors, run_seq).write.mode(
+        "overwrite"
+    ).parquet(
+        os.path.join(state_dir, "error_statistics", f"run_{run_seq}.parquet")
+    )
     manifest.setdefault(run_key, {})["committed"] = True
     manifest["last_run_seq"] = run_seq
     with open(manifest_path, "w") as f:
@@ -495,6 +506,20 @@ def run_persistent(
             if ver < run_seq - 1:
                 shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
     return spark.read.parquet(new_path)
+
+
+def load_error_statistics(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated error_statistics table (one snapshot per
+    committed run) — feed to comments.error_timeline for the series."""
+    root = os.path.join(state_dir, "error_statistics")
+    paths = sorted(
+        os.path.join(root, n) for n in os.listdir(root)
+    ) if os.path.isdir(root) else []
+    if not paths:
+        from .comments import STATS_SCHEMA
+
+        return spark.createDataFrame([], STATS_SCHEMA)
+    return spark.read.parquet(*paths)
 
 
 def current_errors_path(state_dir: str) -> str | None:

@@ -80,6 +80,24 @@ def test_persistent_run_resume(spark, tiny_dir, tmp_path):
         m = json.load(f)
     assert m["last_run_seq"] == 2 and m["run_2"]["committed"]
 
+    # error-statistics timeline fill: one snapshot per committed run,
+    # per-(date, type) totals equal the live table at each run
+    from keepright_spark import comments as cm
+
+    stats = lifecycle.load_error_statistics(spark, state)
+    tl = {
+        (r["date"], r["error_type"]): (r["count"], r["delta"])
+        for r in cm.error_timeline(stats).collect()
+    }
+    by_type = {
+        r["error_type"]: r["c"]
+        for r in errs2.groupBy("error_type")
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for et, n in by_type.items():
+        assert tl[(1, et)] == (n, None)  # first snapshot, no delta
+        assert tl[(2, et)] == (n, 0)     # identical re-run, delta 0
+
 
 def test_crash_resume_uncommitted_run(spark, tiny_dir, tmp_path):
     """A restart after a crash mid-run must resume the SAME run_seq,
