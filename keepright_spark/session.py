@@ -30,10 +30,18 @@ def get_spark(
     max_part = os.environ.get("KR_MAX_PARTITION_BYTES", "1m")
     open_cost = os.environ.get("KR_OPEN_COST_BYTES", "64k")
     advisory = os.environ.get("KR_ADVISORY_PARTITION_BYTES", "1m")
+    b = SparkSession.builder.appName(app)
+    # Under spark-submit (north-rule deployment: --py-files on a
+    # multi-executor cluster) the master comes from the launcher —
+    # KR_SPARK_MASTER=submit keeps the builder from overriding it;
+    # any other value is used verbatim (e.g. a yarn/k8s URL).
+    km = os.environ.get("KR_SPARK_MASTER")
+    if km is None:
+        b = b.master(f"local[{cores}]")
+    elif km != "submit":
+        b = b.master(km)
     b = (
-        SparkSession.builder.appName(app)
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", max_part)
         .config("spark.sql.files.openCostInBytes", open_cost)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
