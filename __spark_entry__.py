@@ -59,6 +59,11 @@ DOC_QUERIES = {
     "kr_doc_cap_census": (None, None, "oracle_doc_cap_census"),
     "kr_doc_minhash_neardups": (docops.documents, docops.doc_minhash_neardups,
                                 "oracle_doc_minhash_neardups"),
+    # sketch-free twin: inverted index on discriminative shingles
+    # (df <= NGRAM_DF_CAP), same exact-Jaccard verify
+    "kr_doc_ngram_jaccard_neardups": (docops.documents,
+                                      docops.doc_ngram_jaccard_neardups,
+                                      "oracle_doc_ngram_jaccard_neardups"),
     "kr_doc_simhash_neardups": (docops.documents, docops.doc_simhash_neardups,
                                 "oracle_doc_simhash_neardups"),
     "kr_emb_knn_brute": (docops.embeddings, docops.emb_knn_brute,

@@ -31,6 +31,7 @@ from .docops import (
     MERSENNE31,
     MINHASH_K,
     NEARDUP_JACCARD,
+    NGRAM_DF_CAP,
     ROLL_BASE,
     SHINGLE_K,
     SIMHASH_BANDS,
@@ -266,6 +267,33 @@ SELECT * FROM scored WHERE jaccard >= {NEARDUP_JACCARD}
 """
 
 
+def _ngram_postings_cte() -> str:
+    """CTE chain t → h → posts → dfc → rare: the discriminative-
+    shingle inverted index of docops._ngram_postings + the DF filter."""
+    return f"""t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {_shingle_hashes_sql()} AS hs FROM t),
+posts AS (SELECT doc_id, hs, UNNEST(hs) AS sh FROM h WHERE len(hs) > 0),
+dfc AS (SELECT sh, count(*) AS df FROM posts GROUP BY sh),
+rare AS (SELECT p.doc_id, p.hs, p.sh FROM posts p JOIN dfc USING (sh)
+  WHERE df <= {NGRAM_DF_CAP})"""
+
+
+def oracle_doc_ngram_jaccard_neardups(d: str) -> str:
+    return f"""
+WITH {_ngram_postings_cte()},
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+scored AS (SELECT p.doc_a, p.doc_b,
+  round(len(list_intersect(ha.hs, hb.hs))
+        / greatest(len(list_distinct(list_concat(ha.hs, hb.hs))), 1), 6)
+    AS jaccard
+  FROM pairs p
+  JOIN h ha ON ha.doc_id = p.doc_a
+  JOIN h hb ON hb.doc_id = p.doc_b)
+SELECT * FROM scored WHERE jaccard >= {NEARDUP_JACCARD}
+"""
+
+
 def _dot_sql(a: str, b_literal_or_col: str) -> str:
     """Sequential left-to-right double dot product (matches Spark's
     aggregate-over-zip_with fold order)."""
@@ -401,4 +429,11 @@ k AS (SELECT md5(coalesce(list_aggregate({TOKS}, 'string_agg', ' '), ''))
 c AS (SELECT count(*) AS n FROM k GROUP BY content_hash)""",
         "exact_dup_roster", DUP_ROSTER_CAP,
     )
-    return "\nUNION ALL\n".join([minhash, simhash, embc, exact])
+    ngram = _overflow_select(
+        f"""t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {_shingle_hashes_sql()} AS hs FROM t),
+posts AS (SELECT doc_id, UNNEST(hs) AS sh FROM h WHERE len(hs) > 0),
+c AS (SELECT count(*) AS n FROM posts GROUP BY sh)""",
+        "ngram_df_filter", NGRAM_DF_CAP,
+    )
+    return "\nUNION ALL\n".join([minhash, simhash, embc, exact, ngram])

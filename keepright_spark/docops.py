@@ -459,6 +459,65 @@ def doc_minhash_neardups(
     )
 
 
+NGRAM_DF_CAP = 24  # max document frequency for an indexable shingle
+
+
+def _ngram_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs, sh): one posting row per (doc, distinct shingle)
+    — the inverted index shared by the n-gram Jaccard join and its
+    cap-census row."""
+    hs = _shingle_hashes(_tokens(F.col("text")))
+    base = docs.select("doc_id", hs.alias("hs")).filter(F.size("hs") > 0)
+    return base.select("doc_id", "hs", F.explode("hs").alias("sh"))
+
+
+def doc_ngram_jaccard_neardups(
+    docs: DataFrame, threshold: float = NEARDUP_JACCARD
+) -> DataFrame:
+    """Sketch-free n-gram Jaccard near-duplicate pairs.
+
+    The MinHash twin approximates candidate generation through a
+    signature; this operator indexes the shingles themselves:
+    inverted index on *discriminative* shingles only (document
+    frequency ≤ NGRAM_DF_CAP — a boilerplate shingle shared by
+    thousands of docs cannot separate near-dups but would make its
+    posting list quadratic), pair join within shingle, then the same
+    exact shingle-set Jaccard ≥ threshold verify as the MinHash
+    operator.  A true near-dup pair shares many shingles, so rare
+    ones suffice to meet (the prefix-filtering idea of
+    all-pairs-similarity joins, Bayardo WWW'07).
+
+    At 100 TB: one scan + explode (linear in total shingles), one
+    hash shuffle on shingle (the df window and the pair join share
+    it), per-shingle pair work bounded by NGRAM_DF_CAP² — never
+    all-pairs.  Dropped hot shingles are counted by
+    ``dedup_cap_census`` (operator ``ngram_df_filter``; that filter
+    drops the WHOLE over-cap posting list, so buckets_over is the
+    count of unindexed shingles)."""
+    posts = _ngram_postings(docs)
+    w = Window.partitionBy("sh")
+    rare = posts.withColumn("df", F.count(F.lit(1)).over(w)).filter(
+        F.col("df") <= NGRAM_DF_CAP
+    )
+    left = rare.select("sh", F.col("doc_id").alias("doc_a"),
+                       F.col("hs").alias("hs_a"))
+    right = rare.select("sh", F.col("doc_id").alias("doc_b"),
+                        F.col("hs").alias("hs_b"))
+    pairs = (
+        left.join(right, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hs_a", "hs_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 SIMHASH_BANDS = 4  # byte-wide bands over the SIMHASH_BITS fingerprint
 SIMHASH_HAMMING_MAX = 3  # pigeonhole: ≤3 flipped bits ⇒ ≥1 equal band
 SIMHASH_BUCKET_CAP = 64
@@ -808,6 +867,9 @@ def dedup_cap_census(docs: DataFrame, emb: DataFrame) -> DataFrame:
       content hash, measured over the *planted* corpus so the overflow
       path itself is driver-verified non-zero (the big planted group
       exceeds the cap by construction)
+    * ``ngram_df_filter``    — posting rows of shingles whose document
+      frequency exceeds NGRAM_DF_CAP (the n-gram Jaccard join drops
+      those shingles wholly; buckets_over = unindexed shingles)
 
     Each input is one extra aggregation over the operator's own bucket
     key — same shuffle key, map-side combinable, no new scale risk.
@@ -828,6 +890,12 @@ def dedup_cap_census(docs: DataFrame, emb: DataFrame) -> DataFrame:
         _bucket_overflow(
             _exact_keyed(planted_dup_docs(docs)), ["content_hash"],
             DUP_ROSTER_CAP, "exact_dup_roster",
+        ),
+        # ngram_df_filter drops WHOLE over-cap posting lists (not just
+        # the tail): buckets_over = shingles left unindexed
+        _bucket_overflow(
+            _ngram_postings(docs), ["sh"], NGRAM_DF_CAP,
+            "ngram_df_filter",
         ),
     ]
     out = rows[0]

@@ -117,6 +117,19 @@ def test_minhash_neardups_at_production_threshold(spark):
         assert r.doc_a.replace("copy", "") == r.doc_b.replace("orig", "")
 
 
+def test_ngram_jaccard_neardups_at_production_threshold(spark):
+    """The sketch-free twin: candidate generation by shared rare
+    shingles is exhaustive on this fixture (a J≈0.85 pair shares
+    ~29 discriminative shingles), so unlike the probabilistic LSH
+    banding it must find ALL planted pairs and nothing else."""
+    docs = spark.createDataFrame(_neardup_docs())
+    out = docops.doc_ngram_jaccard_neardups(docs, threshold=0.8).toPandas()
+    assert len(out) == 12
+    assert (out["jaccard"] >= 0.8).all()
+    for _, r in out.iterrows():
+        assert r.doc_a.replace("copy", "") == r.doc_b.replace("orig", "")
+
+
 def _neardup_embs() -> pd.DataFrame:
     """30 planted cosine-≥0.95 pairs + 40 random vectors."""
     rng = np.random.default_rng(31)
