@@ -81,22 +81,35 @@ def _worker_env() -> dict:
     return env
 
 
-def run_suite(dataset: str, cores: int, parts: int, tag: str) -> dict:
-    """One isolated full-suite measurement (fresh JVM); one retry so a
-    transient worker death can't sink the whole driver bench."""
+def run_suite(
+    dataset: str,
+    cores: int,
+    parts: int,
+    tag: str,
+    check_ids: list[int] | None = None,
+    nocache: bool = False,
+    max_parallel: int | None = None,
+) -> dict:
+    """One isolated measurement (fresh JVM); one retry so a transient
+    worker death can't sink the whole driver bench."""
     os.makedirs(LOG_DIR, exist_ok=True)
+    cmd = [
+        sys.executable,
+        "-m",
+        "keepright_spark.bench_suite",
+        dataset,
+        str(cores),
+        str(parts),
+        str(MAX_PARALLEL if max_parallel is None else max_parallel),
+    ]
+    if check_ids is not None or nocache:
+        cmd.append(",".join(str(c) for c in check_ids) if check_ids else "-")
+    if nocache:
+        cmd.append("nocache")
     for attempt in ("", "_retry"):
         with open(os.path.join(LOG_DIR, f"{tag}{attempt}.log"), "w") as log:
             p = subprocess.run(
-                [
-                    sys.executable,
-                    "-m",
-                    "keepright_spark.bench_suite",
-                    dataset,
-                    str(cores),
-                    str(parts),
-                    str(MAX_PARALLEL),
-                ],
+                cmd,
                 stdout=subprocess.PIPE,
                 stderr=log,
                 env=_worker_env(),
@@ -352,11 +365,82 @@ def _write_baseline_md(scale: str, per_query: dict, result: dict) -> None:
             "/tmp/kr_bench_logs/, so the bench tail stays clean "
             "either way.\n\n"
             f"## Per-check (sec, staged concurrent walls at "
-            f"local[{CPUS}], scale {scale})\n\n| check | sec |\n|---|---|\n"
+            f"local[{CPUS}], scale {scale})\n\n"
+            "These walls measure suite throughput under concurrency "
+            "and spread up to 6x between runs of identical code; for "
+            "per-check regression attribution use the solo channel "
+            "(`python bench.py solo` -> BENCH/SOLO.md: each check "
+            "alone, fresh JVM, min of 3 interleaved reps).\n\n"
+            "| check | sec |\n|---|---|\n"
             + "\n".join(f"| {q} | {per_query[q]} |" for q in sorted(per_query))
             + "\n"
         )
 
 
+def solo_main() -> None:
+    """The solo-wall regression channel (``python bench.py solo``).
+
+    The staged concurrent walls spread up to 6× for identical code
+    across runs (0320 measured 2.3 vs 13.8 s, r4) — cross-job
+    scheduling noise, useless for attributing a per-check regression.
+    This channel runs each check ALONE: fresh JVM, nocache (plain
+    parquet reads — no shared-cache amortization ambiguity),
+    max_parallel=1, KR_BENCH_SOLO_REPS (default 3) interleaved reps
+    per check, min wall reported.  Writes BENCH/SOLO.md and prints
+    one JSON line.  Not part of the driver's ``python bench.py``
+    (wall ~tens of minutes); run it when a staged wall moves and you
+    need to know whether the plan did."""
+    from keepright_spark.checks import available_checks
+
+    scale = scale_for_sf_dir(SF_DIR)
+    dataset = ensure_dataset(scale)
+    cids = sorted(available_checks())
+    reps = int(os.environ.get("KR_BENCH_SOLO_REPS", "3"))
+    t_all = time.time()
+    walls: dict[int, list[float]] = {c: [] for c in cids}
+    rows: dict[int, int] = {}
+    for i in range(reps):  # interleaved: drift hits every check alike
+        for cid in cids:
+            r = run_suite(dataset, CPUS, 32, f"solo_{cid:04d}_r{i}",
+                          check_ids=[cid], nocache=True, max_parallel=1)
+            walls[cid].append(r["wall"])
+            rows[cid] = r["rows"]
+    per = {f"kr_{c:04d}": round(min(ws), 2) for c, ws in walls.items()}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SOLO.md"), "w") as f:
+        f.write(
+            "# Solo per-check walls (regression-attribution channel)\n\n"
+            f"Scale `{scale}` (sf dir `{SF_DIR}`), local[{CPUS}], "
+            "parts=32, each check ALONE in a fresh JVM with nocache "
+            "(plain parquet reads, no shared view cache), "
+            f"{reps} interleaved reps, min wall.  The staged walls in "
+            "BASELINE.md measure suite throughput under concurrency; "
+            "THIS table is the per-check ground truth — a plan "
+            "regression moves it, scheduler noise does not "
+            "(staged spread measured up to 6× for identical code).\n\n"
+            "| check | solo sec (min) | all reps | rows |\n"
+            "|---|---|---|---|\n"
+            + "\n".join(
+                f"| kr_{c:04d} | {min(ws):.2f} | "
+                + ", ".join(f"{w:.1f}" for w in ws)
+                + f" | {rows[c]} |"
+                for c, ws in sorted(walls.items())
+            )
+            + "\n"
+        )
+    print(json.dumps({
+        "metric": "solo_check_sec",
+        "unit": "sec",
+        "queries": per,
+        "sf": float(SF_NAME) if SF_NAME.replace(".", "").isdigit() else SF_NAME,
+        "value": round(sum(per.values()), 2),
+        "reps": reps,
+        "bench_total_sec": round(time.time() - t_all, 1),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "solo" in sys.argv[1:]:
+        solo_main()
+    else:
+        main()
