@@ -185,8 +185,8 @@ def upsert(
 ) -> list[int]:
     """Merge one replication batch; returns the touched bucket list.
 
-    A batch row replaces its previous doc version; an empty ``spans``
-    array is a tombstone.  Only buckets containing batch doc_ids are
+    A batch row replaces its previous doc version; an empty (or
+    null) ``spans`` array is a tombstone.  Only buckets containing batch doc_ids are
     read or rewritten — cost is O(|batch| + |touched buckets|), never
     O(|docs|).  The touched-bucket list is driver-side but bounded by
     ``n_buckets`` (it is the partition work-list, the same shape as

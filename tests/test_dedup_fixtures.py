@@ -76,6 +76,9 @@ def test_cap_census_flags_overflow(spark):
     )
     assert got["exact_dup_roster"]["buckets_over"] >= 1
     assert got["exact_dup_roster"]["rows_beyond_cap"] >= 70 - docops.DUP_ROSTER_CAP
+    # 70 identical docs: every shingle's posting list is 70 > DF cap
+    assert got["ngram_df_filter"]["buckets_over"] >= 1
+    assert got["ngram_df_filter"]["rows_beyond_cap"] >= 70 - docops.NGRAM_DF_CAP
 
     # cross-engine: the DuckDB oracle on the same fixture agrees
     con = duckdb.connect()
