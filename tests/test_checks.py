@@ -42,6 +42,14 @@ def test_raster_vs_oracle(spark, small_dir, name):
     compare_query(spark, name, "/root/testdata/sf0.01")
 
 
+def test_follower_cycle_vs_oracle(spark, small_dir):
+    # The streaming follower's driver-gated row, mirrored locally: one
+    # planted tombstone drop drained through streaming.process_available
+    # must converge to the from-scratch 0020 oracle over the merged world
+    # (rows + schema + values, same comparison the driver runs).
+    compare_query(spark, "kr_follower_cycle", "/root/testdata/sf0.01")
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
