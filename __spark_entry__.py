@@ -206,6 +206,32 @@ def _follower_cycle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return errs.filter(F.col("state") != "cleared").select(*ERROR_COLS)
 
 
+def _deleted_items_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check 0010 (deleted items) on the planted-deletion world: the
+    deterministic victim docs (check_0010.planted_victims) are removed
+    before the scan, so the dangling-reference clauses have a positive
+    path on a world that is otherwise fully consistent.  Oracle:
+    oracles.oracle_0010_deleted derives the same rule in SQL."""
+    from keepright_spark.checks import check_0010
+
+    src = ensure_dataset(scale_for_sf_dir(sf_dir))
+    docs = pipeline.load_docs(spark, src)
+    return check_0010.run_planted(docs)
+
+
+def _websites_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check 0410 (websites) against the dataset's deterministic
+    fetch cache (webcache.parquet) — disabled in the default suite
+    like the reference (config/error_types.php:256), exposed as a
+    standalone driver-verified operator."""
+    from keepright_spark.checks import check_0410
+
+    d = ensure_dataset(scale_for_sf_dir(sf_dir))
+    v = pipeline.tiled_views(spark, d)
+    webcache = spark.read.parquet(f"{d}/webcache.parquet")
+    return check_0410.run_cached(v, webcache)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ensure_dataset("s")  # the oracle side reads files from disk
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -218,6 +244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, (rfn, _oname) in RASTER_QUERIES.items():
         out[name] = _mk_raster_query(rfn)
     out["kr_follower_cycle"] = _follower_cycle_query
+    out["kr_0010"] = _deleted_items_query
+    out["kr_0410"] = _websites_query
     return out
 
 
@@ -233,4 +261,6 @@ def oracle_sql() -> dict[str, str]:
     for name, (_rfn, oname) in RASTER_QUERIES.items():
         out[name] = getattr(oracles, oname)(d)
     out["kr_follower_cycle"] = oracles.oracle_follower_cycle(d)
+    out["kr_0010"] = oracles.oracle_0010_deleted(d)
+    out["kr_0410"] = oracles.oracle_0410(d)
     return out

@@ -31,7 +31,7 @@ from .codec import DOCS_ARROW_SCHEMA, encode_object, fmt_coord
 from .mercator import merc_x, merc_y
 from .tiling import DEFAULT_MARGIN_M, DEFAULT_TILES, Tile
 
-GEN_VERSION = 17  # bump to force dataset regeneration
+GEN_VERSION = 18  # bump to force dataset regeneration
 
 # region covering the scale's tile grid + margins; build_world() sets
 # these per scale so object DENSITY stays constant as the world grows
@@ -73,6 +73,7 @@ class World:
     relations: list = field(default_factory=list)  # (id, user_id)
     relation_members: list = field(default_factory=list)  # (rid, seq, type, mid, role)
     relation_tags: list = field(default_factory=list)  # (rid, k, v)
+    webcache: list = field(default_factory=list)  # (url, http_code, body)
 
     _next_node: int = 1_000_000
     _next_way: int = 5_000_000
@@ -990,6 +991,145 @@ def inj_0220_misspelled(b: World, rng: np.random.RandomState, n: int) -> None:
             b.wy([a, c], [("highway", "residential"), ("name", "Clean St")])
 
 
+def inj_0410_websites(b: World, rng: np.random.RandomState, n: int) -> None:
+    """Check 0410 fixtures: POI nodes with URL tags plus the
+    deterministic web cache (``World.webcache``) standing in for the
+    reference's live HTTP fetch (0410_website.php) — the fetch itself
+    is the environmental boundary, the cache row is what the fetch
+    would have returned.  One node per scenario per unit; every
+    outcome class (411 http error, 412 squat, 413 non-match, the
+    match-cascade passes, whitelist skip, accessibility-only, meta
+    refresh, frameset) has a fixture."""
+    for _ in range(n):
+        def poi(tags: list, cache: list | None = None) -> int:
+            lat7, lon7 = _rand_pt(rng)
+            oid = b.nd(lat7, lon7, tags)
+            for url, code, body in cache or []:
+                b.webcache.append((url, int(code), body))
+            return oid
+
+        def u(oid_hint: int | None = None, host: str = "poi") -> str:
+            oid = b._next_node if oid_hint is None else oid_hint
+            return f"http://{host}{oid}.example.test/"
+
+        oid = b._next_node  # id of the next node created
+
+        # -- 411: http status errors ---------------------------------
+        poi([("website", u()), ("name", f"Schlosscafe {oid}")],
+            [(u(), 404, "<html>404 not found</html>")])
+        oid = b._next_node
+        poi([("url", u()), ("name", f"Bergstube {oid}")],
+            [(u(), 500, "<html>server error</html>")])
+        # -- 412: domain squatting -----------------------------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Talblick {oid}")],
+            [(u(), 200, "<html>Buy This Domain today!</html>")])
+        # -- pass: exact name match ----------------------------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Gasthaus Alpenrose {oid}")],
+            [(u(), 200, f"<html>Willkommen im Gasthaus Alpenrose {oid}</html>")])
+        # -- pass: any-word match ------------------------------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Zur Goldenen Sonne {oid}")],
+            [(u(), 200, "<html>Die Goldenen Zeiten</html>")])
+        # -- pass: accent-stripped match -----------------------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Café Montréal {oid}")],
+            [(u(), 200, "<html>Cafe Montreal welcome</html>")])
+        # -- pass: umlaut-transliterated match -----------------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Müllerstüberl {oid}")],
+            [(u(), 200, "<html>Muellerstueberl zur Stube</html>")])
+        # -- 413: content non-match ----------------------------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Blaue Lagune {oid}")],
+            [(u(), 200, "<html>parked placeholder lorem</html>")])
+        # -- pass: punctuation-stripped match ------------------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Rooney's Corner {oid}")],
+            [(u(), 200, "<html>Rooneys pint house</html>")])
+        # -- skip: whitelisted URL (no cache row on purpose) ---------
+        oid = b._next_node
+        poi([("website", f"http://www.7-eleven.com/store/{oid}"),
+             ("name", f"Seven Corner {oid}")])
+        # -- accessibility-only (image key): 2xx passes, 404 errs ----
+        oid = b._next_node
+        poi([("image", u()), ("name", f"Panorama {oid}")],
+            [(u(), 200, "<html>binary-ish, never text-matched</html>")])
+        oid = b._next_node
+        poi([("image", u()), ("name", f"Aussicht {oid}")],
+            [(u(), 404, "<html>gone</html>")])
+        # -- pass: scheme-less tag value -----------------------------
+        oid = b._next_node
+        poi([("website", f"poi{oid}.example.test/"),
+             ("name", f"Waldrast {oid}")],
+            [(u(), 200, f"<html>Waldrast {oid}</html>")])
+        # -- multi-value tag: first URL 404s, second matches ---------
+        oid = b._next_node
+        poi([("website", f"{u()};{u(host='alt')}"),
+             ("name", f"Doppelhaus {oid}")],
+            [(u(), 404, "<html>404</html>"),
+             (u(host="alt"), 200, f"<html>Doppelhaus {oid}</html>")])
+        # -- skip: connection failure (http code 0) ------------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Funkloch {oid}")],
+            [(u(), 0, "")])
+        # -- pass: no searchable tags at all -------------------------
+        poi([("url", u())], [(u(), 200, "<html>anything goes</html>")])
+        # -- pass: meta refresh to a relative URL that matches -------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Seeblick {oid}")],
+            [(u(), 200, '<meta http-equiv="refresh" content="5; url=/landing">'),
+             (u() + "landing", 200, f"<html>Seeblick {oid}</html>")])
+        # -- 413 after a meta refresh to an absolute URL -------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Felswand {oid}")],
+            [(u(), 200,
+              f'<meta http-equiv="refresh" content="0; url={u(host="hop")}">'),
+             (u(host="hop"), 200, "<html>unrelated rock</html>")])
+        # -- skip: refresh loop (A→B→A, gives up silently) -----------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Kreisel {oid}")],
+            [(u(), 200,
+              f'<meta http-equiv="refresh" content="0; url={u(host="loop")}">'),
+             (u(host="loop"), 200,
+              f'<meta http-equiv="refresh" content="0; url={u()}">')])
+        # -- pass: refresh inside NOSCRIPT is ignored ----------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Steinbruch {oid}")],
+            [(u(), 200,
+              '<noscript><meta http-equiv="refresh" content="0; url=/x">'
+              f"</noscript><html>Steinbruch {oid}</html>")])
+        # -- pass: frameset content is fetched and appended ----------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Rahmenwerk {oid}")],
+            [(u(), 200, '<frameset><frame src="/f1"></frameset>'),
+             (u() + "f1", 200, f"<html>Rahmenwerk {oid}</html>")])
+        # -- 411 after a meta refresh onto a 404 ---------------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Absturz {oid}")],
+            [(u(), 200, '<meta http-equiv="refresh" content="1; url=/dead">'),
+             (u() + "dead", 404, "<html>404</html>")])
+        # -- pass via the name:XX regex key (name itself misses) -----
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Altes Rathaus {oid}"),
+             ("name:de", f"Neues Rathaus {oid}")],
+            [(u(), 200, f"<html>Neues Rathaus {oid}</html>")])
+        # -- 413 accumulating two keys (name + name:en) --------------
+        oid = b._next_node
+        poi([("website", u()), ("name", f"Altes Haus {oid}"),
+             ("name:en", f"Old House {oid}")],
+            [(u(), 200, "<html>nothing relevant</html>")])
+        # -- pass: operator key carries the match --------------------
+        oid = b._next_node
+        poi([("website", u()), ("operator", f"Stadtwerke {oid}")],
+            [(u(), 200, f"<html>Stadtwerke Impressum</html>")])
+        # -- 413 via phone only --------------------------------------
+        oid = b._next_node
+        poi([("website", u()), ("phone", f"+43 1 555{oid % 1000}")],
+            [(u(), 200, "<html>keine Nummer hier</html>")])
+
+
 INJECTORS = [
     (inj_0020_duplicate_nodes, 4),
     (inj_0060_deprecated, 4),
@@ -1014,6 +1154,7 @@ INJECTORS = [
     (inj_0310_roundabouts, 4),
     (inj_0280_boundaries, 3),
     (inj_0220_misspelled, 4),
+    (inj_0410_websites, 1),
 ]
 
 
@@ -1566,6 +1707,23 @@ def write_dataset(
     os.makedirs(os.path.join(out_dir, "oracle"), exist_ok=True)
     b = build_world(scale)
     _write_docs(b, os.path.join(out_dir, "docs.parquet"))
+    if b.webcache:
+        # deterministic stand-in for check 0410's HTTP fetches: one
+        # row per (normalized) URL the checkable tags can reach
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "url": [u for u, _, _ in b.webcache],
+                    "http_code": [c for _, c, _ in b.webcache],
+                    "body": [bd for _, _, bd in b.webcache],
+                },
+                schema=pa.schema(
+                    [("url", pa.string()), ("http_code", pa.int32()),
+                     ("body", pa.string())]
+                ),
+            ),
+            os.path.join(out_dir, "webcache.parquet"),
+        )
     views = _oracle_views(b, tiles, margin_m)
     seeds = island_seeds_per_tile(views)
     for name, df in views.items():

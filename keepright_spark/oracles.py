@@ -308,6 +308,324 @@ def oracle_follower_cycle(d: str) -> str:
     })
 
 
+def oracle_0010_deleted(d: str) -> str:
+    """Check 0010 (deleted items) on the planted-deletion world —
+    independent SQL twin of check_0010.run_planted: derive the same
+    victim rule (the K smallest referenced ids per clause,
+    check_0010.VICTIM_*) straight off the docs table, then emit the
+    reference's three clauses (0010_deleted_items.php:4-27) as refs
+    from surviving docs to victim docs."""
+    from .checks.check_0010 import (
+        MSG_10, MSG_11, MSG_12,
+        VICTIM_REL_NODES, VICTIM_REL_WAYS, VICTIM_WAY_NODES,
+    )
+
+    return f"""
+WITH ex AS (
+    SELECT CAST(split_part(doc_id, '/', 2) AS BIGINT) AS id,
+           UNNEST(spans) AS s
+    FROM read_parquet('{d}/docs.parquet')
+),
+noderefs AS (
+    SELECT id AS way_id,
+           CAST(split_part(s.text, chr(9), 2) AS BIGINT) AS ref_id
+    FROM ex WHERE s.kind = 'noderef'
+),
+members AS (
+    SELECT id AS rel_id, split_part(s.text, chr(9), 2) AS member_type,
+           CAST(split_part(s.text, chr(9), 3) AS BIGINT) AS ref_id
+    FROM ex WHERE s.kind = 'member'
+),
+v1 AS (SELECT DISTINCT ref_id FROM noderefs
+       ORDER BY ref_id LIMIT {VICTIM_WAY_NODES}),
+v2 AS (SELECT DISTINCT ref_id FROM members WHERE member_type = 'N'
+       ORDER BY ref_id LIMIT {VICTIM_REL_NODES}),
+v3 AS (SELECT DISTINCT ref_id FROM members WHERE member_type = 'W'
+       ORDER BY ref_id LIMIT {VICTIM_REL_WAYS}),
+victim_nodes AS (SELECT ref_id FROM v1 UNION SELECT ref_id FROM v2),
+victim_ways AS (SELECT ref_id FROM v3)
+SELECT DISTINCT CAST(10 AS INT) AS error_type, 'way' AS object_type,
+       way_id AS object_id, {_sq(MSG_10)} AS msgid
+FROM noderefs
+WHERE ref_id IN (SELECT ref_id FROM victim_nodes)
+  AND way_id NOT IN (SELECT ref_id FROM victim_ways)
+UNION ALL
+SELECT DISTINCT CAST(11 AS INT), 'relation', rel_id, {_sq(MSG_11)}
+FROM members
+WHERE member_type = 'N' AND ref_id IN (SELECT ref_id FROM victim_nodes)
+UNION ALL
+SELECT DISTINCT CAST(12 AS INT), 'relation', rel_id, {_sq(MSG_12)}
+FROM members
+WHERE member_type = 'W' AND ref_id IN (SELECT ref_id FROM victim_ways)
+"""
+
+
+def oracle_0410(d: str) -> str:
+    """Check 0410 (websites) against the dataset's webcache — the
+    independent SQL twin of checks/check_0410.run_cached, sharing only
+    the configuration tables (data_tables.*_0410) and the documented
+    PHP deviations (see the check module docstring)."""
+    from .checks.check_0410 import (
+        FRAME_RE, MAX_REDIRECTS, MSG_411, MSG_412, MSG_413, NOSCRIPT_RE,
+        REFRESH_RE, WORD_STOPLIST,
+    )
+    from .data_tables import (
+        ACCENT_FROM_0410, ACCENT_TO_0410, ACCESS_ONLY_0410,
+        CHECKABLE_TAGS_0410, SEARCH_KEY_REGEX_0410, SEARCH_KEYS_0410,
+        SQUAT_STRINGS_0410, UMLAUT_PAIRS_0410, WHITELIST_0410,
+    )
+
+    wl_re = _sq("(?i)(" + "|".join(WHITELIST_0410) + ")")
+    wc = f"read_parquet('{d}/webcache.parquet')"
+    stop = ", ".join(_sq(w) for w in WORD_STOPLIST)
+
+    def words(n: str) -> str:
+        return (f"list_filter(regexp_split_to_array({n}, '\\s+'), "
+                f"w -> length(w) >= 4 AND w NOT IN ({stop}))")
+
+    def any_found(hl: str, ws: str) -> str:
+        return (f"(len({ws}) = 0 OR "
+                f"len(list_filter({ws}, w -> instr({hl}, lower(w)) > 0)) > 0)")
+
+    def cat(ws: str) -> str:
+        return f"array_to_string({ws}, '')"
+
+    def ascii_(n: str) -> str:
+        return f"translate({n}, {_sq(ACCENT_FROM_0410)}, {_sq(ACCENT_TO_0410)})"
+
+    def umlaut(n: str) -> str:
+        out = n
+        for a, b in UMLAUT_PAIRS_0410:
+            out = f"replace({out}, {_sq(a)}, {_sq(b)})"
+        return out
+
+    def nopunct(n: str) -> str:
+        return f"regexp_replace({n}, '\\pP', '', 'g')"
+
+    # one match() run (0410:862-939) as a struct expression; hl / h3l
+    # are the lower()ed haystacks, n the needle
+    def match(hl: str, h3l: str, n: str) -> str:
+        m1 = f"(instr({hl}, lower({n})) > 0)"
+        w2, c2 = words(n), cat(words(n))
+        m2 = any_found(hl, w2)
+        n3 = ascii_(n)
+        run3 = f"({n3} <> {n} AND {n3} <> {c2})"
+        w3, c3 = words(n3), cat(words(n3))
+        m3 = f"({run3} AND {any_found(hl, w3)})"
+        n4 = umlaut(n)
+        run4 = (f"({n4} <> {n} AND {n4} <> {c2} "
+                f"AND NOT ({run3} AND {n4} = {c3}))")
+        w4, c4 = words(n4), cat(words(n4))
+        m4 = f"({run4} AND {any_found(hl, w4)})"
+        n5 = nopunct(n)
+        prior5 = (f"({n5} = {n} OR {n5} = {c2} OR ({run3} AND {n5} = {c3}) "
+                  f"OR ({run4} AND {n5} = {c4}))")
+        w5, c5 = words(n5), cat(words(n5))
+        m5 = f"(NOT {prior5} AND {any_found(hl, w5)})"
+        prior6 = f"({prior5} OR {n5} = {c5})"
+        m6 = f"(NOT {prior6} AND {any_found(h3l, w5)})"
+        matched = f"({m1} OR {m2} OR {m3} OR {m4} OR {m5} OR {m6})"
+        variations = (
+            f"list_concat(list_concat(list_concat(list_concat([{n}, {c2}], "
+            f"CASE WHEN {run3} THEN [{c3}] ELSE [] END), "
+            f"CASE WHEN {run4} THEN [{c4}] ELSE [] END), "
+            f"CASE WHEN NOT {prior5} THEN [{c5}] ELSE [] END), "
+            f"CASE WHEN NOT {prior6} THEN [{c5}] ELSE [] END)"
+        )
+        # order-preserving unique (PHP array_unique keeps the first
+        # occurrence; DuckDB's list_distinct does not guarantee order)
+        uniq = (f"list_filter({variations}, "
+                f"(x, i) -> list_position({variations}, x) = i)")
+        searched = f"array_to_string({uniq}, '✔')"
+        return (f"struct_pack(matched := {matched}, searched := {searched})")
+
+    per = match("hl", "h3l", "n")
+
+    # queueURL + normalize_url twins (0410:616-625,963-976)
+    def queue_norm(u: str) -> str:
+        return (f"(CASE WHEN instr(trim({u}), '://') > 0 THEN trim({u}) "
+                f"ELSE 'http://' || trim({u}) END)")
+
+    def normalize_rel(u: str, ref: str) -> str:
+        scheme = f"regexp_extract({ref}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)"
+        host = f"regexp_extract({ref}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)', 1)"
+        joined = (f"({scheme} || '://' || {host} || "
+                  f"CASE WHEN starts_with({u}, '/') THEN {u} ELSE '/' || {u} END)")
+        return (f"(CASE WHEN instr({u}, '://') > 0 OR instr({u}, 'www.') > 0 "
+                f"THEN {u} ELSE {joined} END)")
+
+    ent = "body"
+    for e, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#039;", "'"), ("&amp;", "&")]:
+        ent = f"replace({ent}, {_sq(e)}, {_sq(ch)})"
+
+    quotes = _sq("'" + '"')  # strip both quote kinds from the target
+    refresh_t = (f"trim(translate(regexp_extract(regexp_replace(body, "
+                 f"{_sq(NOSCRIPT_RE)}, ''), {_sq(REFRESH_RE)}, 1), "
+                 f"{quotes}, ''))")
+    hop_to = (f"CASE WHEN http_code BETWEEN 200 AND 299 AND NOT access_only "
+              f"AND {refresh_t} NOT IN ('', '/') THEN {refresh_t} END")
+
+    squat_structs = ", ".join(
+        f"struct_pack(pos := instr(haystack, {_sq(s)}), idx := {i}, s := {_sq(s)})"
+        for i, s in enumerate(SQUAT_STRINGS_0410)
+    )
+    squat = (f"list_sort(list_filter([{squat_structs}], r -> r.pos > 0))[1].s")
+
+    hop_ctes = "".join(
+        f""",
+s{i} AS (
+    SELECT p.object_type, p.id, p.access_only, p.needles, p.url,
+           COALESCE(c.http_code, 0) AS http_code,
+           CASE WHEN NOT p.access_only
+                THEN {ent.replace('body', "COALESCE(c.body, '')")}
+                ELSE COALESCE(c.body, '') END AS body
+    FROM (SELECT object_type, id, access_only, needles,
+                 {queue_norm(normalize_rel('hop_to', 'url'))} AS url
+          FROM h{i - 1} WHERE hop_to IS NOT NULL) p
+    LEFT JOIN {wc} c ON c.url = p.url
+),
+h{i} AS (SELECT *, {hop_to} AS hop_to FROM s{i})"""
+        for i in range(1, MAX_REDIRECTS + 1)
+    )
+    resolved_union = "\nUNION ALL\n".join(
+        f"    SELECT object_type, id, access_only, needles, url, http_code, body "
+        f"FROM h{i} WHERE hop_to IS NULL"
+        for i in range(MAX_REDIRECTS + 1)
+    )
+
+    fixed_cases = ",\n            ".join(
+        f"MAX(CASE WHEN k = {_sq(k)} THEN v END) AS f{i}"
+        for i, k in enumerate(SEARCH_KEYS_0410)
+    )
+    fixed_list = "[" + ", ".join(f"f{i}" for i in range(len(SEARCH_KEYS_0410))) + "]"
+
+    return f"""
+WITH all_tags AS (
+    SELECT DISTINCT 'node' AS object_type, node_id AS id, k, v
+    FROM read_parquet('{d}/oracle/node_tags.parquet')
+    UNION
+    SELECT DISTINCT 'way', way_id, k, v
+    FROM read_parquet('{d}/oracle/way_tags.parquet')
+    UNION
+    SELECT DISTINCT 'relation', relation_id, k, v
+    FROM read_parquet('{d}/oracle/relation_tags.parquet')
+),
+urltag AS (
+    SELECT object_type, id, MAX(v) AS urltag
+    FROM all_tags
+    WHERE k IN ({", ".join(_sq(k) for k in CHECKABLE_TAGS_0410)})
+      AND NOT regexp_matches(v, {wl_re})
+    GROUP BY object_type, id
+),
+fixedk AS (
+    SELECT object_type, id, {fixed_cases}
+    FROM all_tags
+    WHERE k IN ({", ".join(_sq(k) for k in SEARCH_KEYS_0410)})
+    GROUP BY object_type, id
+),
+rexk AS (
+    SELECT object_type, id, list(v ORDER BY k) AS rex_needles
+    FROM (SELECT object_type, id, k, MAX(v) AS v FROM all_tags
+          WHERE regexp_matches(k, {_sq("(?i)" + SEARCH_KEY_REGEX_0410)})
+          GROUP BY object_type, id, k)
+    GROUP BY object_type, id
+),
+obj AS (
+    SELECT u.object_type, u.id,
+           EXISTS (SELECT 1 FROM all_tags t
+                   WHERE t.object_type = u.object_type AND t.id = u.id
+                     AND t.k IN ({", ".join(_sq(k) for k in ACCESS_ONLY_0410)})
+                  ) AS access_only,
+           list_concat(
+               COALESCE(list_filter({fixed_list}, x -> x IS NOT NULL), []),
+               COALESCE(rex_needles, [])
+           ) AS needles,
+           u.urltag
+    FROM urltag u
+    LEFT JOIN fixedk f USING (object_type, id)
+    LEFT JOIN rexk r USING (object_type, id)
+),
+urls AS (
+    SELECT object_type, id, access_only, needles,
+           {queue_norm('rawurl')} AS url
+    FROM (SELECT *, unnest(list_transform(
+              string_split(replace(urltag, ';;', chr(0)), ';'),
+              x -> replace(x, chr(0), ';'))) AS rawurl
+          FROM obj)
+),
+s0 AS (
+    SELECT p.object_type, p.id, p.access_only, p.needles, p.url,
+           COALESCE(c.http_code, 0) AS http_code,
+           CASE WHEN NOT p.access_only
+                THEN {ent.replace('body', "COALESCE(c.body, '')")}
+                ELSE COALESCE(c.body, '') END AS body
+    FROM urls p LEFT JOIN {wc} c ON c.url = p.url
+),
+h0 AS (SELECT *, {hop_to} AS hop_to FROM s0){hop_ctes},
+resolved AS (
+{resolved_union}
+),
+e411 AS (
+    SELECT CAST(411 AS INT) AS error_type, object_type, id AS object_id,
+           {_sq(MSG_411)} AS msgid, url AS txt1,
+           CAST(http_code AS VARCHAR) AS txt2
+    FROM resolved
+    WHERE http_code <> 0 AND (http_code < 200 OR http_code > 299)
+),
+content AS (
+    SELECT *, regexp_extract_all(body, {_sq(FRAME_RE)}, 1) AS frame_srcs
+    FROM resolved
+    WHERE http_code BETWEEN 200 AND 299 AND NOT access_only
+),
+frame_rows AS (
+    SELECT object_type, id, url,
+           unnest(frame_srcs) AS fsrc,
+           generate_subscripts(frame_srcs, 1) AS pos
+    FROM content
+),
+frame_bodies AS (
+    SELECT f.object_type, f.id, f.url,
+           string_agg(furl || chr(10) || COALESCE(c.body, ''), ''
+                      ORDER BY f.pos) AS frame_body
+    FROM (SELECT *, {normalize_rel('fsrc', 'url')} AS furl FROM frame_rows) f
+    LEFT JOIN {wc} c ON c.url = f.furl
+    GROUP BY f.object_type, f.id, f.url
+),
+hays AS (
+    SELECT c.object_type, c.id, c.url, c.needles,
+           c.body || COALESCE(fb.frame_body, '') AS haystack
+    FROM content c
+    LEFT JOIN frame_bodies fb
+      ON fb.object_type = c.object_type AND fb.id = c.id AND fb.url = c.url
+),
+classified AS (
+    SELECT object_type, id, url, {squat} AS squat,
+           (len(needles) = 0 OR
+            len(list_filter(per, r -> r.matched)) > 0) AS matched,
+           array_to_string(list_transform(per, r -> r.searched), '') AS searched
+    FROM (SELECT *, lower(haystack) AS hl,
+                 lower(regexp_replace(haystack, '\\pP', ' ', 'g')) AS h3l,
+                 list_transform(needles, n -> {per}) AS per
+          FROM hays)
+),
+e412 AS (
+    SELECT CAST(412 AS INT), object_type, id, {_sq(MSG_412)}, url, squat
+    FROM classified WHERE squat IS NOT NULL
+),
+e413 AS (
+    SELECT CAST(413 AS INT), object_type, id, {_sq(MSG_413)}, url, searched
+    FROM classified
+    WHERE squat IS NULL AND NOT matched AND searched <> ''
+)
+SELECT DISTINCT * FROM (
+    SELECT * FROM e411
+    UNION ALL SELECT * FROM e412
+    UNION ALL SELECT * FROM e413
+)
+"""
+
+
 def _sq(s: str) -> str:
     """SQL string literal."""
     return "'" + s.replace("'", "''") + "'"

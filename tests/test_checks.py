@@ -42,6 +42,28 @@ def test_raster_vs_oracle(spark, small_dir, name):
     compare_query(spark, name, "/root/testdata/sf0.01")
 
 
+def test_0010_deleted_items_vs_oracle(spark, small_dir):
+    # Planted-deletion world: every clause (way→node, relation→node,
+    # relation→way) must have a positive path and match the SQL twin.
+    compare_query(spark, "kr_0010", "/root/testdata/sf0.01")
+
+
+def test_0010_consistent_world_is_clean(spark, small_dir):
+    # On the pristine world nothing is deleted — the scan must be empty.
+    from keepright_spark import pipeline
+    from keepright_spark.checks import check_0010
+
+    docs = pipeline.load_docs(spark, small_dir)
+    assert check_0010.run_docs(docs).count() == 0
+
+
+def test_0410_websites_vs_oracle(spark, small_dir):
+    # Check 0410 against the dataset's deterministic fetch cache —
+    # every outcome class (411/412/413 plus the match-cascade passes)
+    # has a fixture, and the SQL twin derives the cascade independently.
+    compare_query(spark, "kr_0410", "/root/testdata/sf0.01")
+
+
 def test_follower_cycle_vs_oracle(spark, small_dir):
     # The streaming follower's driver-gated row, mirrored locally: one
     # planted tombstone drop drained through streaming.process_available
