@@ -81,6 +81,33 @@ def _worker_env() -> dict:
     return env
 
 
+def _steal_s() -> float | None:
+    """Cumulative hypervisor steal time (s) from /proc/stat.
+
+    This virtualized host shows *extreme, fast-moving* steal windows
+    (measured 2026-08-19: ~9 cores' worth stolen continuously during
+    one window; the pure-JVM 32-core ceiling swung 7.9 -> 19.1 M
+    hashes/s between runs 7 minutes apart; identical suite code
+    measured 309s in a stolen window vs 54-63s on the prior boot).  Sampling
+    steal around every measurement makes a bad window *observable* in
+    the recorded JSON instead of reading as a code regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / 100.0  # user nice sys idle iowait irq softirq STEAL
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _with_steal(fn, *args):
+    """(result, steal_s_during, span_s) for one measurement call."""
+    s0, t0 = _steal_s(), time.time()
+    out = fn(*args)
+    s1, t1 = _steal_s(), time.time()
+    steal = round(s1 - s0, 1) if s0 is not None and s1 is not None else None
+    return out, steal, round(t1 - t0, 1)
+
+
 def run_suite(
     dataset: str,
     cores: int,
@@ -146,11 +173,19 @@ def main() -> None:
     t_all = time.time()
 
     # headline suite at full parallelism, with per-check walls; best
-    # of REPS (host drift), per-check table from the best run
-    heads = [
-        run_suite(dataset, CPUS, 32, f"headline_{CPUS}c_r{i}")
-        for i in range(REPS)
-    ]
+    # of REPS (host drift), per-check table from the best run.  Each
+    # rep is bracketed by steal sampling and paired with a same-window
+    # pure-JVM ceiling at the same core count, so a stolen window is
+    # visible in the record instead of reading as a regression.
+    heads, head_steal, head_ceil = [], [], []
+    for i in range(REPS):
+        h, st, _ = _with_steal(
+            run_suite, dataset, CPUS, 32, f"headline_{CPUS}c_r{i}"
+        )
+        h["steal_s"] = st
+        heads.append(h)
+        head_steal.append(st)
+        head_ceil.append(run_ceiling(CPUS, f"ceiling_{CPUS}c_head_r{i}"))
     head = min(heads, key=lambda h: h["wall"])
     rows_m, t_m = head["rows"], head["wall"]
     per_query = {
@@ -166,9 +201,11 @@ def main() -> None:
                                      (CORES_LO, CORES_MID, CORES_HI)}
     for i in range(REPS):
         for cores in (CORES_LO, CORES_MID, CORES_HI):
-            ladder[cores].append(
-                run_suite(scaling_ds, cores, 8, f"scale_{cores}c_r{i}")
+            obs, st, _ = _with_steal(
+                run_suite, scaling_ds, cores, 8, f"scale_{cores}c_r{i}"
             )
+            obs["steal_s"] = st
+            ladder[cores].append(obs)
     walls = {c: [r["wall"] for r in rs] for c, rs in ladder.items()}
     rows_set = {r["rows"] for rs in ladder.values() for r in rs}
     assert len(rows_set) == 1, rows_set
@@ -182,6 +219,32 @@ def main() -> None:
                for i in range(REPS))
     c_hi = min(run_ceiling(CORES_HI, f"ceiling_{CORES_HI}c_r{i}")
                for i in range(REPS))
+
+    # second ladder — the north rule's N vs 4N read literally as
+    # local[8] vs local[32] (same job, same input, shuffle_partitions
+    # = 32 so both levels have full shuffle parallelism), each level
+    # paired with the same-window pure-JVM ceiling: beyond ~8 active
+    # threads a single box's shared memory subsystem (plus this
+    # host's hypervisor steal) caps even a perfectly-parallel job,
+    # which on a real cluster is exactly the capacity 4N separate
+    # executors bring themselves.
+    N_LO, N_HI = 8, 32
+    lad2: dict[int, list[dict]] = {N_LO: [], N_HI: []}
+    ceil2: dict[int, list[float]] = {N_LO: [], N_HI: []}
+    for i in range(REPS):
+        for cores in (N_LO, N_HI):
+            obs, st, _ = _with_steal(
+                run_suite, scaling_ds, cores, 32, f"scaleB_{cores}c_r{i}"
+            )
+            obs["steal_s"] = st
+            lad2[cores].append(obs)
+            ceil2[cores].append(run_ceiling(cores, f"ceilingB_{cores}c_r{i}"))
+    tb_lo = min(o["wall"] for o in lad2[N_LO])
+    tb_hi = min(o["wall"] for o in lad2[N_HI])
+    cb_lo, cb_hi = min(ceil2[N_LO]), min(ceil2[N_HI])
+    effb_raw = (tb_lo / tb_hi) / (N_HI / N_LO)
+    effb_ceiling = (cb_lo / cb_hi) / (N_HI / N_LO)
+    effb_vs_ceiling = effb_raw / effb_ceiling if effb_ceiling else None
 
     eff_raw = (t_lo / t_hi) / (CORES_HI / CORES_LO)
     eff_ceiling = (c_lo / c_hi) / (CORES_HI / CORES_LO)
@@ -211,6 +274,8 @@ def main() -> None:
             "wall_hi_sec": round(t_hi, 1),
             "walls_all": {str(c): [round(w, 1) for w in ws]
                           for c, ws in walls.items()},
+            "steal_s_all": {str(c): [o.get("steal_s") for o in rs]
+                            for c, rs in ladder.items()},
             "rows": rows_s,
             "throughput_lo": round(rows_s / t_lo, 1),
             "throughput_hi": round(rows_s / t_hi, 1),
@@ -233,11 +298,116 @@ def main() -> None:
                 "clocks); BENCH/BASELINE.md has the decomposition"
             ),
         },
+        "scaling_8_32": {
+            "mode": (
+                f"north rule read literally: same job (dense "
+                f"scale-{SCALING_SCALE} world, shuffle_partitions=32) "
+                f"at local[{N_LO}] vs local[{N_HI}]; fresh JVM per "
+                f"measurement; {REPS} interleaved reps, min wall; "
+                "each level paired with the same-window pure-JVM "
+                "ceiling (beyond ~8 active threads one box's shared "
+                "memory subsystem + hypervisor steal cap even a "
+                "perfectly parallel job — capacity 4N real executors "
+                "bring themselves)"
+            ),
+            "cores_lo": N_LO,
+            "cores_hi": N_HI,
+            "wall_lo_sec": round(tb_lo, 1),
+            "wall_hi_sec": round(tb_hi, 1),
+            "walls_all": {str(c): [round(o["wall"], 1) for o in rs]
+                          for c, rs in lad2.items()},
+            "steal_s_all": {str(c): [o.get("steal_s") for o in rs]
+                            for c, rs in lad2.items()},
+            "throughput_lo": round(rows_s / tb_lo, 1),
+            "throughput_hi": round(rows_s / tb_hi, 1),
+            "efficiency_wall": round(effb_raw, 3),
+            "hw_ceiling_wall_lo": round(cb_lo, 1),
+            "hw_ceiling_wall_hi": round(cb_hi, 1),
+            "hw_ceiling_efficiency": round(effb_ceiling, 3),
+            "efficiency_vs_ceiling": round(effb_vs_ceiling, 3)
+            if effb_vs_ceiling
+            else None,
+        },
+        "host": {
+            "headline_steal_s": head_steal,
+            "headline_ceiling_wall_s": [round(c, 1) for c in head_ceil],
+            "note": (
+                "steal_s = hypervisor steal (/proc/stat) during that "
+                "measurement; headline_ceiling_wall_s = same-window "
+                f"pure-JVM sha2 ceiling at local[{CPUS}].  This host "
+                "shows extreme fast-moving steal windows (up to ~9 "
+                "cores' worth; identical suite code measured 309s "
+                "stolen on 2026-08-19 vs 54-63s on the prior boot) — compare walls "
+                "against the paired ceiling/steal, not across rounds"
+            ),
+        },
         "bench_total_sec": round(time.time() - t_all, 1),
     }
 
     _write_baseline_md(scale, per_query, result)
     print(json.dumps(result))
+
+
+def _scaling_8_32_md(result: dict) -> str:
+    b = result.get("scaling_8_32")
+    if not b:
+        return ""
+    lo, hi = b["cores_lo"], b["cores_hi"]
+
+    def _obs(c):
+        walls = b["walls_all"][str(c)]
+        steals = b["steal_s_all"][str(c)]
+        return ", ".join(
+            f"{w}s (steal {st}s)" if st is not None else f"{w}s"
+            for w, st in zip(walls, steals)
+        )
+
+    return (
+        f"### Scaling, north rule read literally: local[{lo}] vs "
+        f"local[{hi}] (N vs 4N)\n\n"
+        f"Same job, same input (dense scale world), "
+        "shuffle_partitions=32 at both levels, fresh JVM per "
+        "measurement, min of interleaved reps:\n\n"
+        "| cores | suite sec (min) | all reps | rows/sec | same-window ceiling sec |\n"
+        "|---|---|---|---|---|\n"
+        f"| {lo} | {b['wall_lo_sec']} | {_obs(lo)} | "
+        f"{b['throughput_lo']} | {b['hw_ceiling_wall_lo']} |\n"
+        f"| {hi} | {b['wall_hi_sec']} | {_obs(hi)} | "
+        f"{b['throughput_hi']} | {b['hw_ceiling_wall_hi']} |\n\n"
+        f"- raw wall efficiency {lo}→{hi} = "
+        f"**{b['efficiency_wall']}**\n"
+        f"- pure-JVM perfectly-parallel ceiling {lo}→{hi} at the same "
+        f"window = **{b['hw_ceiling_efficiency']}** — on one box, "
+        "threads beyond ~8 share one memory subsystem (plus this "
+        "host's hypervisor steal); 4N executors on a real cluster "
+        "bring their own\n"
+        f"- engine efficiency relative to that ceiling = "
+        f"**{b['efficiency_vs_ceiling']}**\n\n"
+    )
+
+
+def _host_calibration_md(result: dict) -> str:
+    h = result.get("host")
+    if not h:
+        return ""
+    steals = ", ".join(str(s) for s in h["headline_steal_s"])
+    ceils = ", ".join(str(c) for c in h["headline_ceiling_wall_s"])
+    return (
+        "### Host window calibration (read this before comparing "
+        "rounds)\n\n"
+        "Every measurement above is bracketed by /proc/stat "
+        "hypervisor-steal sampling and paired with a same-window "
+        "pure-JVM sha2 ceiling.  Measured on 2026-08-19: steal "
+        "windows of ~9 cores' worth arrive and leave within minutes "
+        "(the 32-core ceiling swung 7.9 → 19.1 M hashes/s across 7 "
+        "minutes; identical suite code measured 309s in a stolen "
+        "2026-08-19 window vs 54-63s on the 2026-08-18 boot).  Cross-round wall comparisons "
+        "are meaningless without this: compare each wall to its "
+        "paired ceiling/steal column instead.\n\n"
+        f"- headline reps steal_s: {steals}\n"
+        f"- headline same-window local-[all-cores] ceiling walls: "
+        f"{ceils}s\n\n"
+    )
 
 
 def _write_baseline_md(scale: str, per_query: dict, result: dict) -> None:
@@ -287,7 +457,9 @@ def _write_baseline_md(scale: str, per_query: dict, result: dict) -> None:
             f"**{s['efficiency_vs_ceiling']}**\n"
             f"- 2→4 efficiency (same clocks on both sides) = "
             f"**{s['efficiency_2_to_4']}**\n\n"
-            "### Why this is the honest sandbox proxy for N→4N "
+            + _scaling_8_32_md(result)
+            + _host_calibration_md(result)
+            + "### Why this is the honest sandbox proxy for N→4N "
             "executors\n\n"
             "This sandbox is ONE virtualized 32-core box; the north "
             "rule's N and 4N *executors* each bring their own cores, "

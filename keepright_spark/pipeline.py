@@ -382,9 +382,33 @@ def run_checks(
         return out
 
     with ThreadPoolExecutor(max_workers=max_parallel) as ex:
-        paths = list(ex.map(_stage, check_ids))
+        paths = list(ex.map(_stage, _lpt_order(check_ids)))
     errors = spark.read.parquet(*paths)
     return build_error_view(errors, v, tiles or DEFAULT_TILES, emit_types)
+
+
+# Longest-first submission order for the staged runner (LPT makespan
+# heuristic).  With max_parallel=8 slots, ascending-id submission
+# starts the most expensive check (0190, staged wall ~42s on scale m
+# — comparable to the whole suite's 54-63s wall) only in the 16th
+# slot, so its tail extends the makespan; starting the long poles at
+# t=0 lets the cheap checks pack around them.  Ranking = measured
+# walls, consistent across both bench channels (BENCH/SOLO.md min-of-3
+# solo walls; BENCH/BASELINE.md staged walls).  Checks not listed
+# (e.g. a new check before it is ever measured) run after the listed
+# ones in id order — the schedule stays deterministic.
+_STAGE_COST_ORDER = [
+    190, 50, 280, 290, 220, 400, 310, 70, 270, 60, 420, 130, 30, 40,
+    360, 170, 230, 370, 180, 350, 210, 110, 100, 90, 150, 320, 160,
+    300, 380, 390, 120, 20,
+]
+
+
+def _lpt_order(check_ids: list[int]) -> list[int]:
+    if os.environ.get("KR_STAGE_ORDER") == "id":  # A/B escape hatch
+        return sorted(check_ids)
+    rank = {cid: i for i, cid in enumerate(_STAGE_COST_ORDER)}
+    return sorted(check_ids, key=lambda c: (rank.get(c, len(rank)), c))
 
 
 def run_dataset(
