@@ -122,3 +122,24 @@ def test_auto_partitioning_skips_repartition_on_low_tile_worlds(spark, tiny_dir)
     # fine-keyed exchange
     assert "InMemory" in plan
     assert "ENSURE_REQUIREMENTS" in plan, plan
+
+
+def test_staged_lpt_order():
+    """Staged submission is longest-first (LPT makespan heuristic),
+    deterministic, and covers exactly the requested ids; unmeasured
+    checks go last in id order; KR_STAGE_ORDER=id restores ascending."""
+    import os
+
+    from keepright_spark.pipeline import _STAGE_COST_ORDER, _lpt_order
+
+    ids = sorted(_STAGE_COST_ORDER)
+    out = _lpt_order(ids)
+    assert sorted(out) == ids
+    assert out[:4] == [190, 50, 280, 290]  # the measured long poles
+    # unknown (unmeasured) check ids sort after every measured one
+    assert _lpt_order([20, 999, 190])[-1] == 999
+    os.environ["KR_STAGE_ORDER"] = "id"
+    try:
+        assert _lpt_order([190, 20, 50]) == [20, 50, 190]
+    finally:
+        del os.environ["KR_STAGE_ORDER"]
