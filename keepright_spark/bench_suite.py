@@ -46,7 +46,16 @@ from . import pipeline
 from .session import get_spark
 
 BENCH_CONF = {
-    "spark.sql.adaptive.enabled": "false",
+    # KR_BENCH_ADAPTIVE=1 re-enables AQE (the production-session
+    # default, session.py) for A/B.  Measured r5 (solo 0190, scale m,
+    # local[32], interleaved, steal-bracketed): AQE ON 59.0/61.3 s vs
+    # OFF 31.8/50.0 s — at bench scale the per-stage re-planning +
+    # coalesce decisions cost more than the tiny-task overhead they
+    # remove, so the bench keeps AQE off.  Production (100 TB
+    # partitions, real skew) keeps it on via session.get_spark.
+    "spark.sql.adaptive.enabled": (
+        "true" if os.environ.get("KR_BENCH_ADAPTIVE") else "false"
+    ),
     "spark.locality.wait": "0",
     # shuffle compression stays at the Spark default (ON): measured on
     # the xd world at 4 cores, lz4 shuffle is 12% faster end-to-end

@@ -387,8 +387,10 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
 
 
 def _minhash_banded(docs: DataFrame) -> DataFrame:
-    """(doc_id, hs, band, bkey): the LSH band keys of every doc —
-    shared by the near-dup pair join and the cap-overflow census."""
+    """(doc_id, band, bkey): the LSH band keys of every doc — shared
+    by the near-dup pair join and the cap-overflow census.  ids only:
+    neither consumer needs the shingle sets, and carrying them would
+    ship each set LSH_BANDS× through the band shuffle."""
     r = MINHASH_K // LSH_BANDS
     sigs = _minhash_sigs(docs)
     band_rows = []
@@ -403,7 +405,7 @@ def _minhash_banded(docs: DataFrame) -> DataFrame:
         )
         band_rows.append(
             sigs.select(
-                "doc_id", "hs", F.lit(band).alias("band"), key.alias("bkey")
+                "doc_id", F.lit(band).alias("band"), key.alias("bkey")
             )
         )
     banded = band_rows[0]
@@ -429,46 +431,77 @@ def doc_minhash_neardups(
     At 100 TB the flow is: 1 scan + signature (map-side), explode ×
     LSH_BANDS (linear), hash-shuffle on (band, key), within-bucket
     pair join bounded by the cap² — the canonical scalable near-dup
-    shape (Broder MinHash + banding).
+    shape (Broder MinHash + banding).  The band shuffle and the pair
+    dedup move doc_ids ONLY; the shingle sets are re-attached from a
+    second map-side scan keyed on doc_id just before the exact verify
+    (carrying the sets through the band explode would ship each doc's
+    set LSH_BANDS× through the widest shuffle).
     """
     banded = _minhash_banded(docs)
     w = Window.partitionBy("band", "bkey").orderBy("doc_id")
     capped = banded.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= LSH_BUCKET_CAP
     )
-    left = capped.select("band", "bkey", F.col("doc_id").alias("doc_a"),
-                         F.col("hs").alias("hs_a"))
-    right = capped.select("band", "bkey", F.col("doc_id").alias("doc_b"),
-                          F.col("hs").alias("hs_b"))
-    pairs = (
-        left.join(right, ["band", "bkey"])
+    cand = (
+        capped.select("band", "bkey", F.col("doc_id").alias("doc_a"))
+        .join(
+            capped.select("band", "bkey", F.col("doc_id").alias("doc_b")),
+            ["band", "bkey"],
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "hs_a", "hs_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    union = F.size(F.array_union("hs_a", "hs_b"))
-    jac = inter / F.greatest(union, F.lit(1))
-    return (
-        pairs.select(
-            "doc_a",
-            "doc_b",
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_verify(cand, docs, threshold)
 
 
 NGRAM_DF_CAP = 24  # max document frequency for an indexable shingle
 
 
-def _ngram_postings(docs: DataFrame) -> DataFrame:
-    """(doc_id, hs, sh): one posting row per (doc, distinct shingle)
-    — the inverted index shared by the n-gram Jaccard join and its
-    cap-census row."""
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs): each doc's distinct shingle-hash set — one
+    map-side scan, joined onto id-only candidate pairs right before
+    the exact-Jaccard verify."""
     hs = _shingle_hashes(_tokens(F.col("text")))
-    base = docs.select("doc_id", hs.alias("hs")).filter(F.size("hs") > 0)
-    return base.select("doc_id", "hs", F.explode("hs").alias("sh"))
+    return docs.select("doc_id", hs.alias("hs")).filter(F.size("hs") > 0)
+
+
+def _jaccard_verify(
+    cand: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard over id-only candidate pairs
+    (doc_a, doc_b) — the shared verify stage of the MinHash and
+    n-gram operators.  Two hash joins on doc_id; the sets never ride
+    the candidate-generation shuffles."""
+    sets = _shingle_sets(docs)
+    pairs = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"),
+                        F.col("hs").alias("hs_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"),
+                        F.col("hs").alias("hs_b")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): one posting row per (doc, distinct shingle) —
+    the inverted index shared by the n-gram Jaccard join and its
+    cap-census row.  ids only; the sets re-attach at verify time."""
+    return _shingle_sets(docs).select(
+        "doc_id", F.explode("hs").alias("sh")
+    )
 
 
 def doc_ngram_jaccard_neardups(
@@ -490,32 +523,26 @@ def doc_ngram_jaccard_neardups(
     At 100 TB: one scan + explode (linear in total shingles), one
     hash shuffle on shingle (the df window and the pair join share
     it), per-shingle pair work bounded by NGRAM_DF_CAP² — never
-    all-pairs.  Dropped hot shingles are counted by
-    ``dedup_cap_census`` (operator ``ngram_df_filter``; that filter
-    drops the WHOLE over-cap posting list, so buckets_over is the
-    count of unindexed shingles)."""
+    all-pairs.  The postings and the pair join carry doc_ids ONLY
+    (a posting row that dragged the whole shingle set along would
+    ship O(|set|²) bytes per doc); the sets re-attach by doc_id at
+    the shared exact-verify stage.  Dropped hot shingles are counted
+    by ``dedup_cap_census`` (operator ``ngram_df_filter``; that
+    filter drops the WHOLE over-cap posting list, so buckets_over is
+    the count of unindexed shingles)."""
     posts = _ngram_postings(docs)
     w = Window.partitionBy("sh")
     rare = posts.withColumn("df", F.count(F.lit(1)).over(w)).filter(
         F.col("df") <= NGRAM_DF_CAP
     )
-    left = rare.select("sh", F.col("doc_id").alias("doc_a"),
-                       F.col("hs").alias("hs_a"))
-    right = rare.select("sh", F.col("doc_id").alias("doc_b"),
-                        F.col("hs").alias("hs_b"))
-    pairs = (
-        left.join(right, "sh")
+    cand = (
+        rare.select("sh", F.col("doc_id").alias("doc_a"))
+        .join(rare.select("sh", F.col("doc_id").alias("doc_b")), "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "hs_a", "hs_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    union = F.size(F.array_union("hs_a", "hs_b"))
-    jac = inter / F.greatest(union, F.lit(1))
-    return (
-        pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_verify(cand, docs, threshold)
 
 
 SIMHASH_BANDS = 4  # byte-wide bands over the SIMHASH_BITS fingerprint
@@ -798,7 +825,11 @@ def emb_cosine_neardups(
     the constant probe-set size (93), the join stays hash-shuffled on
     the bucket id, and every bucket's candidate list is capped — the
     pair count is bounded by |probes| × cap per vector, never
-    all-pairs.  Cap overflow is surfaced by dedup_cap_census.
+    all-pairs.  The probe explode and the pair join move vec_ids ONLY
+    (carrying the embedding through the explode would ship every
+    vector 93× through the widest shuffle); the vectors re-attach by
+    vec_id just before the exact-cosine verify.  Cap overflow is
+    surfaced by dedup_cap_census.
     """
     base = _with_norm(emb).withColumn("bucket", _bucket_expr())
     w = Window.partitionBy("bucket").orderBy("vec_id")
@@ -809,25 +840,35 @@ def emb_cosine_neardups(
     a = capped.select(
         F.col("bucket").alias("ba"),
         F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"), F.col("norm").alias("na"),
         F.explode(
             F.transform(probes, lambda m: F.col("bucket").bitwiseXOR(m))
         ).alias("bucket"),
     )
-    b = capped.select(
-        "bucket", F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
+    b = capped.select("bucket", F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.least("ba", "bucket").cast("long").alias("bucket"),
+        )
     )
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = cand.join(
+        base.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"),
+                    F.col("norm").alias("na")),
+        "vec_a",
+    ).join(
+        base.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"),
+                    F.col("norm").alias("nb")),
+        "vec_b",
+    )
     cos = F.round(
         _cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 6
     )
     return (
-        pairs.select(
-            "vec_a", "vec_b",
-            F.least("ba", "bucket").cast("long").alias("bucket"),
-            cos.alias("cosine"),
-        )
+        pairs.select("vec_a", "vec_b", "bucket", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

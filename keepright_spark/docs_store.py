@@ -117,6 +117,12 @@ def _move_staged_buckets(
         src = os.path.join(stage, f"bucket={t}")
         if os.path.isdir(src):
             dst = f"b{t:02d}_v{version}"
+            # a crash mid-move on a PREVIOUS attempt of this same
+            # version leaves dst populated but unreferenced (the
+            # manifest never committed); rename onto a non-empty dir
+            # fails, so clear it first — for upserts _sweep_orphans
+            # already did, but a crashed migrate has no manifest yet
+            shutil.rmtree(os.path.join(root, dst), ignore_errors=True)
             os.rename(src, os.path.join(root, dst))
             buckets[str(t)] = dst
         else:

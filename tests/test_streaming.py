@@ -189,3 +189,43 @@ def test_store_manifest_is_the_authority(spark, tmp_path):
         spark, ds, pipeline.load_docs(spark, ds).limit(1)
     )
     assert not os.path.isdir(orphan)
+
+
+def test_migrate_resumes_after_mid_move_crash(spark, tmp_path):
+    """A migrate that died mid-_move_staged_buckets leaves populated
+    bNN_v1 dirs at the store root and NO manifest; the retry must not
+    trip over them (rename onto a non-empty dir) and must produce the
+    full table."""
+    from keepright_spark import docs_store
+
+    tiny = ensure_dataset("t")
+    ds = _clone_dataset(tiny, str(tmp_path / "ds"))
+    total = pipeline.load_docs(spark, ds).count()
+
+    # simulate the half-done first attempt: stage written, SOME
+    # buckets already moved into place, manifest never committed
+    root = docs_store.store_root(ds)
+    os.makedirs(root, exist_ok=True)
+    docs = pipeline.load_docs(spark, ds)
+    stage = os.path.join(root, "stage_crashed")
+    (
+        docs.withColumn("bucket", docs_store.bucket_expr(64))
+        .write.partitionBy("bucket").parquet(stage)
+    )
+    moved = 0
+    for name in sorted(os.listdir(stage)):
+        if name.startswith("bucket=") and moved < 3:
+            t = int(name.split("=")[1])
+            os.rename(
+                os.path.join(stage, name),
+                os.path.join(root, f"b{t:02d}_v1"),
+            )
+            moved += 1
+    assert moved == 3 and docs_store.read_manifest(ds) is None
+
+    man = docs_store.migrate(spark, ds)  # the retry
+    assert man is not None
+    assert docs_store.read_docs(spark, ds).count() == total
+    # the crashed stage dir is unreferenced → swept by the next upsert
+    docs_store.upsert(spark, ds, pipeline.load_docs(spark, ds).limit(1))
+    assert not os.path.isdir(stage)
