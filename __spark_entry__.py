@@ -70,6 +70,10 @@ DOC_QUERIES = {
                          "oracle_emb_knn_brute"),
     "kr_emb_ann_lsh": (docops.embeddings, docops.emb_ann_lsh,
                        "oracle_emb_ann_lsh"),
+    # coarse-quantizer twin: IVF inverted lists (deterministic medoid
+    # seeds + one exact-arithmetic Lloyd step), nprobe-nearest search
+    "kr_emb_ann_ivf": (docops.embeddings, docops.emb_ann_ivf,
+                       "oracle_emb_ann_ivf"),
     "kr_emb_cosine_neardups": (docops.embeddings, docops.emb_cosine_neardups,
                                "oracle_emb_cosine_neardups"),
 }

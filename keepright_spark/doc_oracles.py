@@ -23,6 +23,9 @@ from .docops import (
     ANN_PLANES,
     DUP_ROSTER_CAP,
     EMB_DIM,
+    IVF_NPROBE,
+    IVF_SCALE,
+    IVF_SEED_MOD,
     KNN_K,
     KNN_QUERY_MOD,
     LANG_MARKERS,
@@ -386,6 +389,66 @@ pairs AS (SELECT least(a.ba, b.bucket) AS bucket,
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, CAST(bucket AS BIGINT) AS bucket, cosine
 FROM pairs WHERE cosine >= {COSINE_NEARDUP}
+"""
+
+
+def oracle_emb_ann_ivf(d: str) -> str:
+    """Independent SQL derivation of docops.emb_ann_ivf: the same
+    deterministic medoid seeds, one Lloyd step over exact scaled-long
+    sums, nprobe-nearest-list search — assignment via row_number
+    windows where the engine uses min-of-struct (equivalent order:
+    1 - score is strictly monotonic and ties break on cid)."""
+    pos_range = f"(SELECT unnest(range(1, {EMB_DIM + 1})) AS pos)"
+    return f"""
+WITH {_NORM_CTE},
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+  embedding AS c_emb, norm AS c_norm
+  FROM base WHERE vec_id % {IVF_SEED_MOD} = 1),
+a0 AS (SELECT b.vec_id, b.embedding, s.cid,
+  round({_dot_sql("b.embedding", "s.c_emb")}
+        / greatest(b.norm * s.c_norm, 1e-12), 6) AS score
+  FROM base b CROSS JOIN seeds s),
+best0 AS (SELECT vec_id, embedding, cid AS cell FROM
+  (SELECT *, row_number() OVER (PARTITION BY vec_id
+     ORDER BY score DESC, cid ASC) AS rn FROM a0) WHERE rn = 1),
+comp AS (SELECT cell, i.pos, embedding[i.pos]::DOUBLE AS x
+  FROM best0 CROSS JOIN {pos_range} i),
+cent AS (SELECT cell, pos,
+  sum(CAST(round(x * {IVF_SCALE}) AS BIGINT))
+    / (count(*) * {IVF_SCALE}.0) AS c
+  FROM comp GROUP BY cell, pos),
+refined AS (SELECT cell AS cid, c_emb,
+    sqrt({_dot_sql("c_emb", "c_emb")}) AS c_norm
+  FROM (SELECT cell, list(c ORDER BY pos) AS c_emb
+        FROM cent GROUP BY cell)),
+a1 AS (SELECT b.vec_id, b.embedding, b.norm, r.cid,
+  round({_dot_sql("b.embedding", "r.c_emb")}
+        / greatest(b.norm * r.c_norm, 1e-12), 6) AS score
+  FROM base b CROSS JOIN refined r),
+lists AS (SELECT vec_id, embedding, norm, cid AS cell FROM
+  (SELECT *, row_number() OVER (PARTITION BY vec_id
+     ORDER BY score DESC, cid ASC) AS rn FROM a1) WHERE rn = 1),
+qs AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+    q.norm AS q_norm, r.cid,
+  round({_dot_sql("q.embedding", "r.c_emb")}
+        / greatest(q.norm * r.c_norm, 1e-12), 6) AS c_score
+  FROM base q CROSS JOIN refined r
+  WHERE q.vec_id % {KNN_QUERY_MOD} = 0),
+probes AS (SELECT q_id, q_emb, q_norm, cid AS cell FROM
+  (SELECT *, row_number() OVER (PARTITION BY q_id
+     ORDER BY c_score DESC, cid ASC) AS rn FROM qs)
+  WHERE rn <= {IVF_NPROBE}),
+scored AS (SELECT p.q_id, p.cell, c.vec_id AS n_id,
+  round({_dot_sql("p.q_emb", "c.embedding")}
+        / greatest(p.q_norm * c.norm, 1e-12), 6) AS score
+  FROM probes p JOIN lists c
+    ON p.cell = c.cell AND p.q_id <> c.vec_id),
+ranked AS (SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, CAST(cell AS BIGINT) AS cell,
+  CAST(rank AS BIGINT) AS rank, n_id, score
+FROM ranked WHERE rank <= {KNN_K}
 """
 
 

@@ -873,6 +873,180 @@ def emb_cosine_neardups(
     )
 
 
+IVF_SEED_MOD = 31  # medoid sample: vec_id % MOD == 1 -> nlist ~ N/31
+IVF_NPROBE = 4  # inverted lists searched per query
+IVF_SCALE = 1_000_000  # Lloyd component sums in scaled longs
+
+
+def _arr_norm(col):
+    """sqrt of the sequential self-dot of an array column."""
+    return F.sqrt(
+        F.aggregate(
+            col, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def _nearest_centroid(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """vecs (vec_id, embedding, norm) x broadcast cents (cid, c_emb,
+    c_norm) -> (vec_id, embedding, norm, cell): each vector's
+    cosine-nearest centroid, ties to the lowest cid.  min-of-struct
+    aggregation (map-side combinable partial min), not a window sort;
+    1 - score is the struct sort key because struct minima sort
+    ascending and 1 - x is strictly monotonic (score spans [-1, 1],
+    so 1 - score never hits -0.0)."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "norm",
+        F.struct(
+            (F.lit(1.0) - F.round(
+                _cosine(F.col("embedding"), F.col("c_emb"),
+                        F.col("norm"), F.col("c_norm")), 6,
+            )).alias("inv"),
+            F.col("cid").alias("cid"),
+        ).alias("key"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("key").alias("best"),
+             F.first("embedding").alias("embedding"),
+             F.first("norm").alias("norm"))
+        .select("vec_id", "embedding", "norm",
+                F.col("best.cid").alias("cell"))
+    )
+
+
+def _ivf_centroids(base: DataFrame) -> DataFrame:
+    """(cid, c_emb array<double>, c_norm): IVF centroids — a
+    deterministic medoid sample (vec_id % IVF_SEED_MOD == 1, so
+    nlist ~ N/31 ~ sqrt-scale at bench sizes) refined by ONE Lloyd
+    step.  The per-dimension means sum CAST(round(x * IVF_SCALE) AS
+    LONG) — exact integer arithmetic, so the result is independent of
+    Spark's partition-parallel summation order and bit-identical to
+    the oracle's sequential SQL sum (a double sum would be
+    order-dependent and hash-flaky).
+
+    Production analog: FAISS-style IVF trains k-means on a driver
+    sample; here the whole training step is in-plan and deterministic
+    so the DuckDB oracle can co-derive it.  The seed window sorts only
+    the ~N/31 seed rows (broadcast-scale), never the full table.
+    """
+    w = Window.orderBy("vec_id")
+    seeds = (
+        base.filter(F.col("vec_id") % IVF_SEED_MOD == 1)
+        .select("vec_id", "embedding", "norm")
+        .select(
+            (F.row_number().over(w) - 1).alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    assign0 = _nearest_centroid(base, seeds)
+    comp = assign0.select(
+        "cell", F.posexplode("embedding").alias("pos", "x")
+    )
+    cent = (
+        comp.groupBy("cell", "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * IVF_SCALE).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cell", "pos",
+            (F.col("s") / (F.col("n") * F.lit(float(IVF_SCALE)))).alias("c"),
+        )
+    )
+    refined = (
+        cent.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("c_emb")
+        )
+        .select(
+            F.col("cell").alias("cid"), "c_emb",
+            _arr_norm(F.col("c_emb")).alias("c_norm"),
+        )
+    )
+    return refined
+
+
+def emb_ann_ivf(emb: DataFrame) -> DataFrame:
+    """IVF approximate kNN — the coarse-quantizer twin of the LSH
+    variant: deterministic k-means-refined centroids partition the
+    vectors into nlist inverted lists; each query searches only its
+    IVF_NPROBE cosine-nearest lists, exact cosine top-K over those
+    candidates.  Same query subset and ranking rule as emb_knn_brute,
+    so recall is directly measurable (test_docops pins a floor).
+
+    No silent caps: probed lists are searched exhaustively, so the
+    operator needs no dedup_cap_census row (unlike the capped LSH
+    family).
+
+    Scale shape: centroid training touches the full table twice
+    (assign + per-dimension mean — both map-side + one hash shuffle on
+    (cell, pos)); centroids are tiny (nlist x 64 doubles) and
+    broadcast; list assignment is a broadcast nested loop + partial
+    min aggregation (no window over the full table); the query-side
+    probe join is hash-shuffled on the list id, candidate work
+    bounded by nprobe/nlist of the table per query — the canonical
+    IVF-Flat plan (Johnson et al., billion-scale FAISS).
+    """
+    base = _with_norm(emb)
+    cents = _ivf_centroids(base)
+    lists = _nearest_centroid(base, cents)
+    q = base.filter((F.col("vec_id") % KNN_QUERY_MOD) == 0)
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.col("c_score").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "q_emb", "q_norm", "cid",
+            F.round(
+                _cosine(F.col("q_emb"), F.col("c_emb"),
+                        F.col("q_norm"), F.col("c_norm")), 6,
+            ).alias("c_score"),
+        )
+        .withColumn("c_rank", F.row_number().over(probe_w))
+        .filter(F.col("c_rank") <= IVF_NPROBE)
+        .select("q_id", "q_emb", "q_norm", F.col("cid").alias("cell"))
+    )
+    cand = lists.select(
+        "cell", F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"), F.col("norm").alias("n_norm"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "cell", "n_id",
+            F.round(
+                _cosine(F.col("q_emb"), F.col("n_emb"),
+                        F.col("q_norm"), F.col("n_norm")), 6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_id", F.col("cell").cast("long").alias("cell"),
+                F.col("rank").cast("long").alias("rank"), "n_id", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # cap-overflow census (the brief's no-silent-caps rule)
 # ---------------------------------------------------------------------------
