@@ -41,6 +41,10 @@ MEDIA_QUERIES = {
 # pre-registered `documents` / `embeddings` views.
 DOC_QUERIES = {
     "kr_doc_stats": (docops.documents, docops.doc_stats, "oracle_doc_stats"),
+    # token counting: whitespace + a GPT-2-style BPE pre-tokenizer
+    # regex (same pattern string inlined into the oracle SQL)
+    "kr_doc_token_stats": (docops.documents, docops.doc_token_stats,
+                           "oracle_doc_token_stats"),
     "kr_doc_langid": (docops.documents, docops.doc_langid,
                       "oracle_doc_langid"),
     "kr_doc_fingerprint": (docops.documents, docops.doc_fingerprint,

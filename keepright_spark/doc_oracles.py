@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from .docops import (
     ANN_PLANES,
+    BPE_PRETOKEN_RE,
     DUP_ROSTER_CAP,
     EMB_DIM,
     IVF_NPROBE,
@@ -90,6 +91,29 @@ SELECT doc_id,
                              t -> list_contains({stop_list}, t)))
                          / greatest(len(toks), 1), 6) * 5, 0.5)),
     6) AS quality
+FROM t
+"""
+
+
+def oracle_doc_token_stats(d: str) -> str:
+    # the exact engine-side pattern, SQL-quoted; Java regex and RE2
+    # are both leftmost-first so the two engines pre-tokenize
+    # identically (docops.BPE_PRETOKEN_RE docstring + test cases)
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '[ \t\n\r]+'),
+                x -> x <> '') AS ws,
+    list_filter(regexp_extract_all(text, '{pat}'),
+                m -> regexp_matches(m, '[^ \t\n\r]')) AS bpe
+  FROM documents)
+SELECT doc_id,
+  len(ws)::BIGINT AS n_ws_tokens,
+  len(bpe)::BIGINT AS n_bpe_tokens,
+  len(list_distinct(bpe))::BIGINT AS n_bpe_distinct,
+  round(length(text) / greatest(len(bpe), 1), 6) AS chars_per_bpe,
+  round(len(bpe) / greatest(len(ws), 1), 6) AS bpe_per_ws
 FROM t
 """
 

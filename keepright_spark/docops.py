@@ -155,6 +155,51 @@ def _shingle_hashes(tok_col):
 # text analysis
 # ---------------------------------------------------------------------------
 
+# GPT-2-style pre-tokenizer regex (Radford et al. 2019, simplified):
+# contractions | space?+letter-run | space?+digit-run | space?+punct-run
+# | whitespace-run.  The upstream pattern's trailing-whitespace
+# lookahead `\s+(?!\S)` is dropped (RE2 — the DuckDB oracle engine —
+# has no lookahead); Java regex and RE2 are both leftmost-first on
+# alternation, so the two engines tokenize identically (verified on
+# contractions / double spaces / tabs / punct runs in
+# tests/test_docops.py::test_bpe_pretokenizer_cases).
+BPE_PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+|[ \t\n\r]+"
+)
+
+
+def doc_token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex
+    pre-tokens (the unit a GPT-2-family byte-pair encoder would merge
+    within — a good proxy for training-token cost without shipping a
+    merges table).
+
+    Columns: whitespace count, pre-token count (whitespace-only runs
+    excluded), distinct pre-tokens, chars per pre-token, and the
+    bpe/ws inflation ratio.  Single-pass narrow scan — no shuffle, no
+    Python; `regexp_extract_all` runs JVM-side in codegen.
+    """
+    ws_toks = F.filter(
+        F.split(F.col("text"), "[ \t\n\r]+"), lambda t: t != F.lit("")
+    )
+    pre = F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0)
+    # drop pure-whitespace runs: they cost ~0 merges and would skew
+    # the per-token ratios on whitespace-padded docs
+    bpe = F.filter(pre, lambda m: m.rlike("[^ \t\n\r]"))
+    n_ws = F.size(ws_toks)
+    n_bpe = F.size(bpe)
+    return docs.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("long").alias("n_bpe_distinct"),
+        F.round(
+            F.length("text") / F.greatest(n_bpe, F.lit(1)), 6
+        ).alias("chars_per_bpe"),
+        F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 6).alias("bpe_per_ws"),
+    )
+
 
 def doc_stats(docs: DataFrame) -> DataFrame:
     """Per-document quality metrics: token/char counts, punctuation /

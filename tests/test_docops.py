@@ -91,6 +91,44 @@ def test_docops_plans_are_native(spark):
         assert "ArrowEvalPython" not in txt, name
 
 
+def test_bpe_pretokenizer_cases(spark):
+    """Handcrafted contraction / double-space / tab / punct-run cases:
+    the Spark (Java regex) and DuckDB (RE2) pre-tokenizations must
+    agree exactly — both engines are leftmost-first on alternation."""
+    cases = [
+        "don't stop, it's 42!",
+        "hello  world",
+        "Tabs\tand\nnewlines  mix'd",
+        "",
+        "a1b2 c3",
+        "we're I'll you've I'm he'd",
+        "trailing space ",
+        " leading",
+        "punct...!!! ???",
+    ]
+    sdf = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(cases)], "doc_id string, text string"
+    )
+    got = docops.doc_token_stats(sdf).toPandas()
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id VARCHAR, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(str(i), t) for i, t in enumerate(cases)],
+    )
+    exp = con.sql(doc_oracles.oracle_doc_token_stats("ignored")).df()
+    assert _norm(got).equals(_norm(exp))
+    by_id = got.set_index("doc_id")
+    # "don't stop, it's 42!" → don |'t| stop|,| it|'s| 42|! = 8 pre-tokens
+    assert by_id.loc["0", "n_bpe_tokens"] == 8
+    assert by_id.loc["0", "n_ws_tokens"] == 4
+    # empty text: all counts zero, ratios 0.0
+    assert by_id.loc["3", "n_bpe_tokens"] == 0
+    assert by_id.loc["3", "chars_per_bpe"] == 0.0
+    # pure whitespace runs are not counted as pre-tokens
+    assert by_id.loc["6", "n_bpe_tokens"] == 2  # trailing| space
+
+
 def test_knn_plan_broadcasts_queries(spark):
     plan = docops.emb_knn_brute(
         docops.embeddings(spark, SF_DIR)
