@@ -35,6 +35,18 @@ MEDIA_QUERIES = {
     "kr_media_integrity": (media_mod.media_integrity, "oracle_media_integrity"),
 }
 
+# media transform plumbing (decode → resize / frame-sample / features)
+# over DISTINCT refs, run through the deterministic fake codec — the
+# declared environmental boundary (no codec libs here) exercised with
+# the md5-derived stand-in; the oracle recomputes the same md5
+# prefixes DuckDB-side.  name -> (engine fn over the media view,
+# oracle fn)
+MEDIA_REF_QUERIES = {
+    "kr_media_resize": (media_mod.media_resize, "oracle_media_resize"),
+    "kr_media_frames": (media_mod.media_frame_sample, "oracle_media_frames"),
+    "kr_media_features": (media_mod.media_features, "oracle_media_features"),
+}
+
 # training-data-pipeline operators over the driver's documents /
 # embeddings tables (keepright_spark.docops): name -> (input loader,
 # operator, doc_oracles fn).  Oracle SQL references the driver's
@@ -108,6 +120,18 @@ def _mk_media_query(fn) -> Callable[[SparkSession, str], DataFrame]:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = ensure_dataset(scale_for_sf_dir(sf_dir))
         return fn(media_mod.tiled_media(spark, d))
+
+    return q
+
+
+def _mk_media_ref_query(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = ensure_dataset(scale_for_sf_dir(sf_dir))
+        docs = pipeline.load_docs(spark, d)
+        return fn(
+            media_mod.media_view(docs),
+            batch_decoder=media_mod.fake_decode_batch,
+        )
 
     return q
 
@@ -247,6 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"kr_{cid:04d}"] = _mk_check_query(cid)
     for name, (fn, _oname) in MEDIA_QUERIES.items():
         out[name] = _mk_media_query(fn)
+    for name, (fn, _oname) in MEDIA_REF_QUERIES.items():
+        out[name] = _mk_media_ref_query(fn)
     for name, (loader, fn, _oname) in DOC_QUERIES.items():
         out[name] = _mk_doc_query(loader, fn)
     for name, (rfn, _oname) in RASTER_QUERIES.items():
@@ -263,6 +289,8 @@ def oracle_sql() -> dict[str, str]:
     for cid in CHECKS_WITH_ORACLE:
         out[f"kr_{cid:04d}"] = getattr(oracles, f"oracle_{cid:04d}")(d)
     for name, (_fn, oname) in MEDIA_QUERIES.items():
+        out[name] = getattr(oracles, oname)(d)
+    for name, (_fn, oname) in MEDIA_REF_QUERIES.items():
         out[name] = getattr(oracles, oname)(d)
     for name, (_loader, _fn, oname) in DOC_QUERIES.items():
         out[name] = getattr(doc_oracles, oname)(d)

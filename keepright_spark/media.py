@@ -193,3 +193,153 @@ def decode_media(tm: DataFrame, batch_decoder=None) -> DataFrame:
         .repartition("media_ref")
         .mapInPandas(run, DECODED_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Transforms over decoded media: resize plan / frame sample / features
+# ---------------------------------------------------------------------------
+
+# the deterministic fake codec's value ranges (md5-derived; the DuckDB
+# oracle twins recompute the same md5 prefixes — keep in sync with
+# oracles._media_dec_preamble)
+FAKE_MAX_DIM = 2032  # width/height in [16, 2047]
+FAKE_MAX_FRAMES = 240  # non-image n_frames in [1, 240]
+FAKE_FEATURE_DIM = 8  # quantized uint8 feature vector length
+
+RESIZE_MAX_PX = 256
+FRAME_SAMPLE_K = 8
+
+REF_DECODED_SCHEMA = (
+    "media_ref string, mime string, "
+    "width int, height int, n_frames int, feature array<float>"
+)
+
+
+def fake_decode_batch(pdf):
+    """Deterministic content-derived fake codec (the declared
+    environmental boundary made testable): dims / frame count /
+    quantized features derived from md5(media_ref), the engine↔oracle
+    hash trick used throughout docops.  Implements the same batch
+    contract as ``decode_media_batch`` — a real image/audio decoder
+    drops in with the identical signature.  Passes through whatever id
+    columns the batch carries (doc-level or ref-level plumbing)."""
+    import hashlib
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    width, height, frames, feats = [], [], [], []
+    for ref, mime in zip(pdf["media_ref"], pdf["mime"]):
+        hx = h(str(ref))
+        width.append(16 + int(hx[:4], 16) % FAKE_MAX_DIM)
+        height.append(16 + int(hx[4:8], 16) % FAKE_MAX_DIM)
+        frames.append(
+            1
+            if str(mime).startswith("image/")
+            else 1 + int(hx[8:12], 16) % FAKE_MAX_FRAMES
+        )
+        feats.append(
+            [
+                float(int(h(f"{ref}:f{j}")[:4], 16) % 256)
+                for j in range(FAKE_FEATURE_DIM)
+            ]
+        )
+    out = pdf.copy()
+    out["width"] = width
+    out["height"] = height
+    out["n_frames"] = frames
+    out["feature"] = feats
+    return out
+
+
+def decode_refs(mv: DataFrame, batch_decoder=None) -> DataFrame:
+    """Decode each DISTINCT (media_ref, mime) exactly once.
+
+    This is the scale-load-bearing shape of the transform family: refs
+    are content hashes, so a planet-hot ref (one logo in 10^7 docs)
+    decodes once, not once per referencing doc; doc-level results are
+    a join back on media_ref.  Arrow-batched mapInPandas after a
+    hash shuffle on media_ref — no skew (each key is one row)."""
+    decoder = batch_decoder or decode_media_batch
+
+    def run(batches):
+        for pdf in batches:
+            yield decoder(pdf)
+
+    return (
+        mv.filter(F.col("media_ref").isNotNull())
+        .select("media_ref", "mime")
+        .distinct()
+        .repartition("media_ref")
+        .mapInPandas(run, REF_DECODED_SCHEMA)
+    )
+
+
+def media_resize(
+    mv: DataFrame, max_px: int = RESIZE_MAX_PX, batch_decoder=None
+) -> DataFrame:
+    """Aspect-preserving fit-into-``max_px``-box resize plan per
+    distinct ref: (media_ref, mime, width, height, out_w, out_h).
+
+    The byte transform lives in the decoder batch hook (same
+    mapInPandas task); the *geometry* of the resize — never upscale,
+    floor to integer pixels, floor(d·max_px / max(w,h)) clamped to
+    ≥1 — is native column math so the plan stays in codegen."""
+    d = decode_refs(mv, batch_decoder)
+    m = F.greatest("width", "height")
+
+    def fit(c: str):
+        scaled = F.greatest(
+            F.lit(1).cast("int"),
+            F.floor(F.col(c) * max_px / m).cast("int"),
+        )
+        return F.when(m <= max_px, F.col(c)).otherwise(scaled).alias(
+            "out_" + ("w" if c == "width" else "h")
+        )
+
+    return d.select(
+        "media_ref", "mime", "width", "height", fit("width"), fit("height")
+    )
+
+
+def media_frame_sample(
+    mv: DataFrame, k: int = FRAME_SAMPLE_K, batch_decoder=None
+) -> DataFrame:
+    """Uniform-stride frame sampling plan per distinct (video/audio or
+    image) ref: up to ``k`` distinct indices floor(i·n_frames/k),
+    i ∈ [0, k) — the standard training-data frame subsampler.  Images
+    (n_frames=1) yield the single frame 0.  Index math is exact (k a
+    power of two ⇒ the double division is exact), native, exploded
+    JVM-side."""
+    d = decode_refs(mv, batch_decoder)
+    idx = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.floor(i * F.col("n_frames") / k).cast("int"),
+        )
+    )
+    return d.select(
+        "media_ref", "mime", "n_frames", F.explode(idx).alias("frame_idx")
+    )
+
+
+def media_features(mv: DataFrame, batch_decoder=None) -> DataFrame:
+    """Feature-extraction plumbing per distinct ref: the decoder batch
+    hook emits a fixed-dim quantized feature vector (uint8-valued, the
+    shape CLIP-style extractors ship); this operator validates and
+    summarizes it natively — (media_ref, mime, dim, ssq, feature_q)
+    with ssq = Σv² (exact integer) and feature_q the comma-joined
+    quantized values."""
+    d = decode_refs(mv, batch_decoder)
+    ints = F.transform(F.col("feature"), lambda x: x.cast("long"))
+    return d.select(
+        "media_ref",
+        "mime",
+        F.size("feature").alias("dim"),
+        F.aggregate(
+            ints, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("ssq"),
+        F.array_join(
+            F.transform(ints, lambda x: x.cast("string")), ","
+        ).alias("feature_q"),
+    )

@@ -2973,6 +2973,71 @@ def oracle_media_integrity(d: str) -> str:
     )
 
 
+def _media_dec_preamble(d: str) -> str:
+    """Distinct-ref decode twin of media.decode_refs + the fake codec:
+    the same md5 prefixes DuckDB-side (constants imported from the
+    engine so a range change can never desynchronize)."""
+    from .docs_store import duckdb_docs_source
+    from .media import FAKE_MAX_DIM, FAKE_MAX_FRAMES
+
+    return f"""docs AS (SELECT * FROM read_parquet({duckdb_docs_source(d)})),
+sp AS (SELECT doc_id, UNNEST(spans) AS s FROM docs),
+dref AS (SELECT DISTINCT s.media_ref AS media_ref,
+                split_part(s.text, chr(9), 1) AS mime
+         FROM sp WHERE s.kind = 'media' AND s.media_ref IS NOT NULL),
+dec AS (SELECT media_ref, mime,
+        16 + ('0x' || substr(md5(media_ref), 1, 4))::INT % {FAKE_MAX_DIM}
+          AS width,
+        16 + ('0x' || substr(md5(media_ref), 5, 4))::INT % {FAKE_MAX_DIM}
+          AS height,
+        CASE WHEN mime LIKE 'image/%' THEN 1
+             ELSE 1 + ('0x' || substr(md5(media_ref), 9, 4))::INT
+                      % {FAKE_MAX_FRAMES} END AS n_frames
+        FROM dref)"""
+
+
+def oracle_media_resize(d: str) -> str:
+    from .media import RESIZE_MAX_PX as px
+
+    return (
+        f"WITH {_media_dec_preamble(d)}\n"
+        "SELECT media_ref, mime, width, height, "
+        f"CASE WHEN greatest(width, height) <= {px} THEN width "
+        f"ELSE greatest(1, CAST(FLOOR(width * {px} / "
+        "CAST(greatest(width, height) AS DOUBLE)) AS INT)) END AS out_w, "
+        f"CASE WHEN greatest(width, height) <= {px} THEN height "
+        f"ELSE greatest(1, CAST(FLOOR(height * {px} / "
+        "CAST(greatest(width, height) AS DOUBLE)) AS INT)) END AS out_h "
+        "FROM dec"
+    )
+
+
+def oracle_media_frames(d: str) -> str:
+    from .media import FRAME_SAMPLE_K as k
+
+    return (
+        f"WITH {_media_dec_preamble(d)}\n"
+        "SELECT DISTINCT media_ref, mime, n_frames, "
+        f"CAST(FLOOR(g.range * n_frames / {float(k)}) AS INT) AS frame_idx "
+        f"FROM dec, range({k}) g"
+    )
+
+
+def oracle_media_features(d: str) -> str:
+    from .media import FAKE_FEATURE_DIM as dim
+
+    return (
+        f"WITH {_media_dec_preamble(d)},\n"
+        "feats AS (SELECT media_ref, mime, g.range AS j, "
+        "('0x' || substr(md5(media_ref || ':f' || g.range::VARCHAR), 1, 4))"
+        f"::INT % 256 AS fv FROM dec, range({dim}) g)\n"
+        f"SELECT media_ref, mime, CAST({dim} AS INT) AS dim, "
+        "CAST(SUM(fv * fv) AS BIGINT) AS ssq, "
+        "string_agg(fv::VARCHAR, ',' ORDER BY j) AS feature_q "
+        "FROM feats GROUP BY media_ref, mime"
+    )
+
+
 def oracle_zonal_stats(d: str) -> str:
     from .raster import RES as res, VAL_MOD as mod
 

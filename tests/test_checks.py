@@ -37,6 +37,13 @@ def test_media_vs_oracle(spark, small_dir, name):
     compare_query(spark, name, "/root/testdata/sf0.01")
 
 
+@pytest.mark.parametrize("name", sorted(entrymod.MEDIA_REF_QUERIES))
+def test_media_transform_vs_oracle(spark, small_dir, name):
+    """Resize / frame-sample / feature plumbing through the fake codec
+    vs the DuckDB md5 twin."""
+    compare_query(spark, name, "/root/testdata/sf0.01")
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.RASTER_QUERIES))
 def test_raster_vs_oracle(spark, small_dir, name):
     compare_query(spark, name, "/root/testdata/sf0.01")

@@ -78,3 +78,58 @@ def test_decode_plumbing(spark, tiny_dir):
         assert [round(x, 6) for x in r["feature"]] == [
             round(float(__import__("numpy").float32(v)), 6) for v in feat
         ]
+
+
+def test_media_transforms(spark, tiny_dir):
+    """Resize / frame-sample / features over the fake codec: decode is
+    per DISTINCT (ref, mime); the transform math honors its contracts."""
+    docs = pipeline.load_docs(spark, tiny_dir)
+    mv = media.media_view(docs)
+    n_refs = (
+        mv.filter(F.col("media_ref").isNotNull())
+        .select("media_ref", "mime")
+        .distinct()
+        .count()
+    )
+
+    dec = media.decode_refs(mv, media.fake_decode_batch)
+    assert dec.count() == n_refs  # one decode per distinct ref+mime
+
+    rs = media.media_resize(mv, batch_decoder=media.fake_decode_batch)
+    # decode is the one Arrow batch op; post-decode math stays native
+    plan = rs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    rows = rs.collect()
+    assert len(rows) == n_refs
+    for r in rows:
+        assert 1 <= r["out_w"] <= media.RESIZE_MAX_PX or r["out_w"] == r["width"]
+        assert max(r["out_w"], r["out_h"]) <= max(
+            r["width"], r["height"]
+        )  # never upscale
+        if max(r["width"], r["height"]) > media.RESIZE_MAX_PX:
+            m = max(r["width"], r["height"])
+            assert r["out_w"] == max(1, r["width"] * media.RESIZE_MAX_PX // m)
+            assert r["out_h"] == max(1, r["height"] * media.RESIZE_MAX_PX // m)
+        else:
+            assert (r["out_w"], r["out_h"]) == (r["width"], r["height"])
+
+    fs = media.media_frame_sample(mv, batch_decoder=media.fake_decode_batch)
+    frows = fs.collect()
+    by_ref: dict = {}
+    for r in frows:
+        assert 0 <= r["frame_idx"] < r["n_frames"]
+        by_ref.setdefault((r["media_ref"], r["mime"]), []).append(r["frame_idx"])
+    assert len(by_ref) == n_refs
+    for (_ref, mime), idxs in by_ref.items():
+        assert len(idxs) == len(set(idxs)) <= media.FRAME_SAMPLE_K
+        assert 0 in idxs  # stride sampling always keeps frame 0
+        if mime.startswith("image/"):
+            assert idxs == [0]
+
+    ft = media.media_features(mv, batch_decoder=media.fake_decode_batch)
+    for r in ft.collect():
+        vals = [int(v) for v in r["feature_q"].split(",")]
+        assert r["dim"] == media.FAKE_FEATURE_DIM == len(vals)
+        assert all(0 <= v <= 255 for v in vals)  # quantized uint8 range
+        assert r["ssq"] == sum(v * v for v in vals)
