@@ -75,6 +75,16 @@ DOC_QUERIES = {
     "kr_doc_cap_census": (None, None, "oracle_doc_cap_census"),
     "kr_doc_minhash_neardups": (docops.documents, docops.doc_minhash_neardups,
                                 "oracle_doc_minhash_neardups"),
+    # clustering stage after pairwise dup evidence: connected
+    # components (pointer-jumping min-label propagation) over the
+    # exact-chain ∪ minhash-pair edge set of the planted corpus;
+    # oracle re-derives components via a recursive closure CTE
+    "kr_doc_dedup_groups": (docops.documents, docops.doc_dedup_groups,
+                            "oracle_doc_dedup_groups"),
+    # composed keep/drop verdict (quality x language x length x
+    # near-dup loser) with deterministic reason codes
+    "kr_doc_keep": (docops.documents, docops.doc_keep_decision,
+                    "oracle_doc_keep"),
     # sketch-free twin: inverted index on discriminative shingles
     # (df <= NGRAM_DF_CAP), same exact-Jaccard verify
     "kr_doc_ngram_jaccard_neardups": (docops.documents,

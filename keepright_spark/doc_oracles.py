@@ -250,9 +250,11 @@ def oracle_doc_exact_dups_planted(d: str) -> str:
     return "WITH " + _planted_sql() + ",\n" + _exact_dups_sql("planted")
 
 
-def _minhash_banded_cte() -> str:
-    """CTE chain t → h → sigs → banded (doc_id, hs, band, bkey) —
-    shared by the near-dup oracle and the cap census."""
+def _minhash_banded_cte(src: str = "documents") -> str:
+    """CTE chain t → h → sigs → banded (doc_id, hs, band, bkey) over
+    a (doc_id, text) source — shared by the near-dup oracle, the cap
+    census, and the dedup-group oracle (which runs it over the
+    planted corpus)."""
     r = MINHASH_K // LSH_BANDS
     sig_cols = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
@@ -268,29 +270,37 @@ def _minhash_banded_cte() -> str:
             f"SELECT doc_id, hs, {band} AS band, md5({key}) AS bkey FROM sigs"
         )
     banded = " UNION ALL ".join(band_selects)
-    return f"""t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {TOKS} AS toks FROM {src}),
 h AS (SELECT doc_id, {_shingle_hashes_sql()} AS hs FROM t),
 sigs AS (SELECT doc_id, hs, {sig_cols} FROM h WHERE len(hs) > 0),
 banded AS ({banded})"""
 
 
-def oracle_doc_minhash_neardups(d: str) -> str:
-    return f"""
-WITH {_minhash_banded_cte()},
+def _minhash_pairs_sql(src: str = "documents") -> str:
+    """CTE chain ending in ``mdup (doc_a, doc_b, jaccard)`` — the
+    exact-Jaccard-scored MinHash candidate pairs over ``src``
+    (filter on jaccard at the use site)."""
+    return f"""{_minhash_banded_cte(src)},
 capped AS (SELECT * FROM (
   SELECT *, row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id)
     AS rn FROM banded) WHERE rn <= {LSH_BUCKET_CAP}),
-pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+mpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM capped a JOIN capped b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-scored AS (SELECT p.doc_a, p.doc_b,
+mdup AS (SELECT p.doc_a, p.doc_b,
   round(len(list_intersect(ha.hs, hb.hs))
         / greatest(len(list_distinct(list_concat(ha.hs, hb.hs))), 1), 6)
     AS jaccard
-  FROM pairs p
+  FROM mpairs p
   JOIN h ha ON ha.doc_id = p.doc_a
-  JOIN h hb ON hb.doc_id = p.doc_b)
-SELECT * FROM scored WHERE jaccard >= {NEARDUP_JACCARD}
+  JOIN h hb ON hb.doc_id = p.doc_b)"""
+
+
+def oracle_doc_minhash_neardups(d: str) -> str:
+    return f"""
+WITH {_minhash_pairs_sql()}
+SELECT doc_a, doc_b, jaccard FROM mdup
+WHERE jaccard >= {NEARDUP_JACCARD}
 """
 
 
@@ -524,3 +534,74 @@ c AS (SELECT count(*) AS n FROM posts GROUP BY sh)""",
         "ngram_df_filter", NGRAM_DF_CAP,
     )
     return "\nUNION ALL\n".join([minhash, simhash, embc, exact, ngram])
+
+
+def oracle_doc_dedup_groups(d: str) -> str:
+    """Independent CC derivation of docops.doc_dedup_groups: the same
+    edge set (exact-dup chain edges ∪ verified MinHash pairs over the
+    planted corpus), components via a recursive transitive-closure
+    CTE (min reachable doc_id) instead of the engine's pointer-
+    jumping label propagation."""
+    from .docops import NEARDUP_JACCARD as THR
+
+    return f"""
+WITH RECURSIVE {_planted_sql()},
+{_minhash_pairs_sql("planted")},
+near AS (SELECT doc_a, doc_b FROM mdup WHERE jaccard >= {THR}),
+ek AS (SELECT doc_id,
+  md5(coalesce(list_aggregate({TOKS}, 'string_agg', ' '), ''))
+    AS content_hash FROM planted),
+chain AS (SELECT prev AS doc_a, doc_id AS doc_b FROM (
+  SELECT doc_id, lag(doc_id) OVER (
+    PARTITION BY content_hash ORDER BY doc_id) AS prev FROM ek)
+  WHERE prev IS NOT NULL),
+allp AS (SELECT doc_a, doc_b FROM near
+  UNION SELECT doc_a, doc_b FROM chain),
+edges AS (SELECT doc_a AS s, doc_b AS t2 FROM allp
+  UNION SELECT doc_b, doc_a FROM allp),
+reach AS (SELECT s, t2 FROM edges
+  UNION SELECT r.s, e.t2 FROM reach r JOIN edges e ON r.t2 = e.s),
+lab AS (SELECT s AS doc_id, least(s, min(t2)) AS group_id
+  FROM reach GROUP BY s)
+SELECT doc_id, group_id,
+  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+  CASE WHEN doc_id = group_id THEN 1 ELSE 0 END AS is_canonical
+FROM lab
+"""
+
+
+def oracle_doc_keep(d: str) -> str:
+    """Composed keep/drop verdict: quality + langid re-derived via
+    their own oracle queries as CTE subqueries, near-dup losers from
+    the verified MinHash pairs; reason codes in the same fixed
+    (alphabetical) order as docops.doc_keep_decision."""
+    from .docops import (
+        KEEP_LANGS,
+        KEEP_MAX_TOKENS,
+        KEEP_MIN_TOKENS,
+        KEEP_QUALITY_MIN,
+    )
+
+    langs = "[" + ", ".join(f"'{x}'" for x in KEEP_LANGS) + "]"
+    return f"""
+WITH stats AS ({oracle_doc_stats(d)}),
+lang AS ({oracle_doc_langid(d)}),
+losers AS (SELECT DISTINCT doc_b AS doc_id, 1 AS dupf
+  FROM ({oracle_doc_minhash_neardups(d)})),
+r AS (SELECT s.doc_id,
+  list_filter([
+    CASE WHEN NOT list_contains({langs}, l.pred_lang)
+      THEN 'lang' END,
+    CASE WHEN s.quality < {KEEP_QUALITY_MIN} THEN 'low_quality' END,
+    CASE WHEN d2.dupf IS NOT NULL THEN 'near_dup' END,
+    CASE WHEN s.n_tokens > {KEEP_MAX_TOKENS} THEN 'too_long' END,
+    CASE WHEN s.n_tokens < {KEEP_MIN_TOKENS} THEN 'too_short' END
+  ], x -> x IS NOT NULL) AS rl
+  FROM stats s
+  JOIN lang l USING (doc_id)
+  LEFT JOIN losers d2 USING (doc_id))
+SELECT doc_id,
+  CASE WHEN len(rl) = 0 THEN 1 ELSE 0 END AS keep,
+  coalesce(array_to_string(rl, ','), '') AS reasons
+FROM r
+"""

@@ -1162,3 +1162,185 @@ def dedup_cap_census(docs: DataFrame, emb: DataFrame) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dedup group clustering (connected components over the dup-pair graph)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 64  # pointer-jumping halves tree height: 64 >> log2(any N)
+
+
+def cc_labels(pairs: DataFrame) -> DataFrame:
+    """Distributed connected components over an undirected edge list
+    ``(doc_a, doc_b)`` → ``(doc_id, lab)`` where ``lab`` is the
+    minimum doc_id reachable from ``doc_id`` (the component id).
+
+    Algorithm: min-label propagation with pointer jumping.  Each
+    round (a) every vertex takes the min of its own label and its
+    neighbors' labels (one hash shuffle on the edge source), then
+    (b) composes the label map with itself — ``lab ← lab(lab(v))``
+    (one self-join on the label table) — so a chain of length d
+    converges in O(log d) rounds instead of d (the hooking +
+    compression idea of MapReduce CC, Kiveris et al. SOCC'14).
+    Labels only ever move within a component (every label is a
+    member's doc_id), decrease monotonically, and the loop exits at
+    the fixpoint, where equality across every edge forces
+    label = component min — so the round count never affects the
+    result, only how fast it arrives.
+
+    Scale shape: the vertex set is only pair-touched docs (the dup
+    graph is sparse — ≪ corpus size); per round two hash shuffles
+    keyed on doc_id, lineage truncated per round
+    (``stable_checkpoint``), convergence detected by a counted
+    aggregate, never a driver collect of the labels.
+    """
+    from .lib import stable_checkpoint
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"),
+                         F.col("doc_a").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    edges = stable_checkpoint(edges)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        nbr = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), "lab"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.col("lab").alias("old_lab"),
+            F.least("lab", "nbr_lab").alias("lab1"),
+        )
+        jump = stepped.select(
+            F.col("doc_id").alias("j_key"), F.col("lab1").alias("j_lab")
+        )
+        new = (
+            stepped.join(jump, stepped.lab1 == jump.j_key, "left")
+            .select(
+                "doc_id", "old_lab",
+                F.least("lab1", F.coalesce("j_lab", "lab1")).alias("lab"),
+            )
+        )
+        new = stable_checkpoint(new)
+        changed = new.filter(F.col("lab") != F.col("old_lab")).count()
+        labels = new.select("doc_id", "lab")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"cc_labels did not converge in {CC_MAX_ROUNDS} rounds"
+    )
+
+
+def doc_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Duplicate GROUPS from pairwise dup evidence — the clustering
+    stage a production dedup pipeline runs after candidate scoring:
+    pairs only say "A≈B"; dropping per pair double-drops transitive
+    families, so the decision unit is the connected component.
+
+    Edge set (over the planted corpus, so the groups are
+    deterministic and non-trivial at every scale): exact-dup chain
+    edges (consecutive doc_ids per content hash — linear, not the
+    clique) ∪ MinHash near-dup pairs.  Components via ``cc_labels``;
+    one row per grouped doc: the component id (min member doc_id),
+    the group size, and ``is_canonical`` = 1 on the member a
+    keep-one-per-group policy retains.
+
+    Every vertex in the edge list has ≥1 dup partner, so every
+    emitted group has size ≥ 2 (singletons never enter the CC at
+    all — at 100 TB that means CC cost scales with the dup-pair
+    count, not the corpus).
+    """
+    planted = planted_dup_docs(docs)
+    near = doc_minhash_neardups(planted).select("doc_a", "doc_b")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    chain = (
+        _exact_keyed(planted)
+        .withColumn("_prev", F.lag("doc_id").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    labels = cc_labels(
+        near.unionByName(chain).dropDuplicates(["doc_a", "doc_b"])
+    )
+    gw = Window.partitionBy("group_id")
+    return (
+        labels.select("doc_id", F.col("lab").alias("group_id"))
+        .withColumn("group_size", F.count(F.lit(1)).over(gw).cast("long"))
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("group_id")).cast("int"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# keep/drop decision (quality x language x length x near-dup filter)
+# ---------------------------------------------------------------------------
+
+# thresholds calibrated to the driver corpus (quality ∈ [0.5, 1],
+# n_tokens ∈ [10, 99]) so EVERY reason code has a verified positive
+# path at correctness scale — a threshold no row can cross would
+# leave that branch tested only by construction
+KEEP_QUALITY_MIN = 0.55  # doc_stats quality floor
+KEEP_MIN_TOKENS = 15
+KEEP_MAX_TOKENS = 90
+KEEP_LANGS = ("en",)  # corpus contract: English training set
+
+
+def doc_keep_decision(docs: DataFrame) -> DataFrame:
+    """The composed filter verdict a training-data pipeline ships:
+    per doc, keep ∈ {0, 1} plus the sorted reason codes for a drop —
+    ``lang`` (predicted language outside KEEP_LANGS), ``low_quality``
+    (doc_stats quality < KEEP_QUALITY_MIN), ``near_dup`` (the doc is
+    the dropped side — larger doc_id — of a verified MinHash near-dup
+    pair), ``too_long`` / ``too_short`` (token-count bounds).
+
+    Composition, not new machinery: two map-side scans (stats,
+    langid) hash-joined on doc_id plus the near-dup loser id set
+    (ids only — a semi-join-shaped left join).  Reason order is
+    fixed (alphabetical) so the string is deterministic.
+    """
+    stats = doc_stats(docs).select("doc_id", "n_tokens", "quality")
+    lang = doc_langid(docs).select("doc_id", "pred_lang")
+    losers = (
+        doc_minhash_neardups(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    j = stats.join(lang, "doc_id").join(losers, "doc_id", "left")
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                F.when(~F.col("pred_lang").isin(*KEEP_LANGS),
+                       F.lit("lang")),
+                F.when(F.col("quality") < KEEP_QUALITY_MIN,
+                       F.lit("low_quality")),
+                F.when(F.col("_dup").isNotNull(), F.lit("near_dup")),
+                F.when(F.col("n_tokens") > KEEP_MAX_TOKENS,
+                       F.lit("too_long")),
+                F.when(F.col("n_tokens") < KEEP_MIN_TOKENS,
+                       F.lit("too_short")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return j.select(
+        "doc_id",
+        (reasons == F.lit("")).cast("int").alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -134,3 +134,59 @@ def test_knn_plan_broadcasts_queries(spark):
         docops.embeddings(spark, SF_DIR)
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cc_labels_path_and_components(spark):
+    """Pointer-jumping CC: a 40-vertex path (diameter 39 — pure
+    min-propagation would need 39 rounds; the jump makes it
+    logarithmic), a triangle, and an isolated pair must each collapse
+    to their min doc_id."""
+    path = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(39)]
+    tri = [("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    pair = [("z8", "z9")]
+    pairs = spark.createDataFrame(
+        path + tri + pair, "doc_a string, doc_b string"
+    )
+    got = {
+        r.doc_id: r.lab for r in docops.cc_labels(pairs).collect()
+    }
+    assert len(got) == 40 + 3 + 2
+    assert all(got[f"p{i:02d}"] == "p00" for i in range(40))
+    assert got["t1"] == got["t2"] == got["t3"] == "t1"
+    assert got["z8"] == got["z9"] == "z8"
+
+
+def test_dedup_groups_semantics(spark):
+    """Structural invariants of the group table: sizes ≥ 2, exactly
+    one canonical per group (= the min member id), sizes equal actual
+    member counts, and both endpoints of every input pair land in the
+    same group (transitivity)."""
+    docs = docops.documents(spark, SF_DIR)
+    g = docops.doc_dedup_groups(docs).toPandas()
+    assert (g.group_size >= 2).all()
+    by = g.groupby("group_id")
+    assert (by.is_canonical.sum() == 1).all()
+    assert (by.doc_id.min() == by.apply(lambda d: d.name)).all()
+    assert (by.size() == by.group_size.first()).all()
+    # transitivity vs the raw pair evidence
+    near = docops.doc_minhash_neardups(
+        docops.planted_dup_docs(docs)
+    ).toPandas()
+    lab = dict(zip(g.doc_id, g.group_id))
+    assert all(lab[a] == lab[b] for a, b in zip(near.doc_a, near.doc_b))
+
+
+def test_keep_reasons_all_fire(spark):
+    """Threshold calibration contract: every reason code has a
+    positive path on the driver corpus, keep=1 iff no reasons, and
+    reason strings are sorted."""
+    got = docops.doc_keep_decision(docops.documents(spark, SF_DIR)).toPandas()
+    codes = set()
+    for r in got.reasons:
+        if r:
+            parts = r.split(",")
+            assert parts == sorted(parts)
+            codes.update(parts)
+    assert codes == {"lang", "low_quality", "near_dup",
+                     "too_long", "too_short"}
+    assert ((got.keep == 1) == (got.reasons == "")).all()
