@@ -85,6 +85,15 @@ DOC_QUERIES = {
     # near-dup loser) with deterministic reason codes
     "kr_doc_keep": (docops.documents, docops.doc_keep_decision,
                     "oracle_doc_keep"),
+    # training-set assembly: greedy sequence packing via a two-level
+    # distributed prefix sum (never a single-partition global window);
+    # the oracle computes the global prefix directly, proving the
+    # bucket-parallel decomposition exact
+    "kr_doc_pack": (docops.documents, docops.doc_pack_sequences,
+                    "oracle_doc_pack_sequences"),
+    # reproducible hash-range train/val/test assignment
+    "kr_doc_split": (docops.documents, docops.doc_split_assign,
+                     "oracle_doc_split_assign"),
     # sketch-free twin: inverted index on discriminative shingles
     # (df <= NGRAM_DF_CAP), same exact-Jaccard verify
     "kr_doc_ngram_jaccard_neardups": (docops.documents,

@@ -605,3 +605,43 @@ SELECT doc_id,
   coalesce(array_to_string(rl, ','), '') AS reasons
 FROM r
 """
+
+
+def oracle_doc_pack_sequences(d: str) -> str:
+    """Single-engine (window) derivation of the two-level prefix sum
+    in docops.doc_pack_sequences — DuckDB computes the same global
+    token prefix directly; equality proves the bucket-parallel
+    decomposition exact."""
+    from .docops import PACK_BUDGET, PACK_NBUCKETS
+
+    return f"""
+WITH t AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+    % {PACK_NBUCKETS} AS bucket
+  FROM documents),
+p AS (SELECT *, coalesce(sum(n_tokens) OVER (
+    ORDER BY bucket, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gpre
+  FROM t)
+SELECT doc_id,
+  CAST(floor(gpre / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+  CAST(gpre % {PACK_BUDGET} AS BIGINT) AS tok_start,
+  n_tokens
+FROM p
+"""
+
+
+def oracle_doc_split_assign(d: str) -> str:
+    from .docops import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    return f"""
+WITH t AS (SELECT doc_id,
+  CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100
+    AS INTEGER) AS split_bucket
+  FROM documents)
+SELECT doc_id, split_bucket,
+  CASE WHEN split_bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+       WHEN split_bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+FROM t
+"""

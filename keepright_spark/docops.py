@@ -1344,3 +1344,89 @@ def doc_keep_decision(docs: DataFrame) -> DataFrame:
         (reasons == F.lit("")).cast("int").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing + split assignment (training-set assembly)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per training sequence
+PACK_NBUCKETS = 8  # prefix-sum parallelism (production: ~partitions)
+
+
+def doc_pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Greedy sequence packing for pretraining batches: lay the docs
+    out in a deterministic order — (hash-bucket, doc_id) — and cut
+    the concatenated token stream every ``budget`` tokens; each doc
+    reports its pack and its start offset inside the pack (a doc may
+    straddle a cut — the usual pretraining packing, where sequences
+    are filled and documents cross boundaries with an EOS separator).
+
+    Scale shape — a distributed prefix sum, NOT a global window: a
+    window with no partitionBy collapses the whole table into ONE
+    partition (the classic packing scale-killer).  Instead the
+    running token count is computed per hash bucket in parallel
+    (window partitioned by bucket), and the global offset of each
+    bucket comes from a PACK_NBUCKETS-row aggregate (tiny — one row
+    per bucket) cumulated and broadcast back.  That two-level
+    prefix-sum is exact: global_prefix = bucket_offset +
+    within-bucket prefix, so the result is identical to the
+    single-partition plan at any parallelism.
+    """
+    base = docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (_h32(F.col("doc_id").cast("string")) % PACK_NBUCKETS).alias(
+            "bucket"
+        ),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = base.withColumn(
+        "pre_b", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    # one row per bucket: cumulative offset of everything in earlier
+    # buckets (window over PACK_NBUCKETS rows — driver-scale)
+    ow = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        base.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btot"))
+        .withColumn("boff", F.coalesce(F.sum("btot").over(ow), F.lit(0)))
+        .select("bucket", "boff")
+    )
+    gpre = F.col("boff") + F.col("pre_b")
+    return (
+        pre.join(F.broadcast(offs), "bucket")
+        .select(
+            "doc_id",
+            F.floor(gpre / budget).cast("long").alias("pack_id"),
+            (gpre % budget).cast("long").alias("tok_start"),
+            "n_tokens",
+        )
+    )
+
+
+# deterministic hash-range held-out split: h32(doc_id) % 100 → 80/10/10
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test = the remainder
+
+
+def doc_split_assign(docs: DataFrame) -> DataFrame:
+    """Reproducible train/val/test assignment by content-independent
+    doc_id hash range — membership never changes as the corpus grows
+    (the property random sampling lacks), and the split is
+    recomputable anywhere from the doc_id alone.  Pure map-side."""
+    b = _h32(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id",
+        b.cast("int").alias("split_bucket"),
+        split.alias("split"),
+    )

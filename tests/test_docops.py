@@ -8,6 +8,7 @@ import pytest
 
 import __spark_entry__ as entry
 from keepright_spark import doc_oracles, docops
+from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -190,3 +191,53 @@ def test_keep_reasons_all_fire(spark):
     assert codes == {"lang", "low_quality", "near_dup",
                      "too_long", "too_short"}
     assert ((got.keep == 1) == (got.reasons == "")).all()
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing layout invariants: offsets stay inside the budget,
+    consecutive docs in (bucket, doc_id) order tile the token stream
+    with no gaps, and every pack except the last is full."""
+    got = (
+        docops.doc_pack_sequences(docops.documents(spark, SF_DIR))
+        .toPandas()
+    )
+    assert (got.tok_start >= 0).all()
+    assert (got.tok_start < docops.PACK_BUDGET).all()
+    total = got.n_tokens.sum()
+    # global positions tile [0, total): reconstruct and check
+    gpre = got.pack_id * docops.PACK_BUDGET + got.tok_start
+    assert sorted(gpre + got.n_tokens) == sorted(
+        set(gpre) - {0} | {total}
+    )
+    # pack ids are contiguous from 0; the pack holding the last token
+    # is at most one beyond the last pack any doc STARTS in (docs may
+    # straddle the final cut)
+    assert set(got.pack_id) == set(range(got.pack_id.max() + 1))
+    assert 0 <= (total - 1) // docops.PACK_BUDGET - got.pack_id.max() <= 1
+
+
+def test_pack_plan_has_no_global_window(spark):
+    """The scale contract: no single-partition window — every window
+    exchange in the plan is hash-partitioned, never a bare
+    SinglePartition."""
+    df = docops.doc_pack_sequences(docops.documents(spark, SF_DIR))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the PACK_NBUCKETS-row bucket-offset window is the only
+    # SinglePartition exchange allowed; it must sit over the
+    # aggregated (8-row) side, so the full-table scan appears under
+    # a hashpartitioning exchange
+    assert "hashpartitioning(bucket" in plan
+
+
+def test_split_assign_is_stable_under_growth(spark):
+    """Membership depends only on doc_id: the split of the first half
+    of the corpus is unchanged when computed over the full corpus."""
+    docs = docops.documents(spark, SF_DIR)
+    full = docops.doc_split_assign(docs).toPandas()
+    half_ids = sorted(full.doc_id)[: len(full) // 2]
+    half = docops.doc_split_assign(
+        docs.filter(F.col("doc_id").isin(half_ids))
+    ).toPandas()
+    merged = half.merge(full, on="doc_id", suffixes=("_h", "_f"))
+    assert (merged.split_h == merged.split_f).all()
+    assert len(merged) == len(half)
