@@ -283,6 +283,14 @@ def _websites_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_0410.run_cached(v, webcache)
 
 
+def _span_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc span-sequence profile: the row-level (kind, text,
+    media_ref, order) invariant as a queryable fingerprint column —
+    oracle equality on it is span-sequence equality for every doc."""
+    d = ensure_dataset(scale_for_sf_dir(sf_dir))
+    return media_mod.doc_span_profile(pipeline.load_docs(spark, d))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ensure_dataset("s")  # the oracle side reads files from disk
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -299,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kr_follower_cycle"] = _follower_cycle_query
     out["kr_0010"] = _deleted_items_query
     out["kr_0410"] = _websites_query
+    out["kr_doc_span_profile"] = _span_profile_query
     return out
 
 
@@ -318,4 +327,5 @@ def oracle_sql() -> dict[str, str]:
     out["kr_follower_cycle"] = oracles.oracle_follower_cycle(d)
     out["kr_0010"] = oracles.oracle_0010_deleted(d)
     out["kr_0410"] = oracles.oracle_0410(d)
+    out["kr_doc_span_profile"] = oracles.oracle_doc_span_profile(d)
     return out

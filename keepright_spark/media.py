@@ -343,3 +343,53 @@ def media_features(mv: DataFrame, batch_decoder=None) -> DataFrame:
             F.transform(ints, lambda x: x.cast("string")), ","
         ).alias("feature_q"),
     )
+
+
+def doc_span_profile(docs: DataFrame) -> DataFrame:
+    """Per-document span-sequence profile over the interleaved
+    text+media docs table — the engine's row-level invariant made a
+    queryable surface: ``span_fingerprint`` is the md5 of the ordered
+    (kind, text, media_ref) sequence, so engine↔oracle equality on
+    that column IS span-sequence equality (kind, text, media_ref,
+    order) for every document (the codec round-trip contract,
+    codec.py:9-20); ``offsets_dense`` checks the codec's dense
+    0-based offset rule per row.
+
+    All native array expressions over the spans column — one
+    map-side scan, no explode, no shuffle, no Python.
+    """
+    sp = F.col("spans")
+    offs = F.transform(sp, lambda s: s["offset"])
+    seq = F.array_join(
+        F.transform(
+            sp,
+            lambda s: F.concat_ws(
+                "\x1f",
+                s["kind"],
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+            ),
+        ),
+        "\x1e",
+    )
+    dense = F.when(F.size(sp) == 0, F.lit(1)).otherwise(
+        (offs == F.sequence(F.lit(0), F.size(sp) - 1)).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(sp).cast("long").alias("n_spans"),
+        F.size(F.filter(sp, lambda s: s["kind"] == F.lit("text")))
+        .cast("long").alias("n_text"),
+        F.size(F.filter(sp, lambda s: s["kind"] == F.lit("media")))
+        .cast("long").alias("n_media"),
+        F.aggregate(
+            F.filter(sp, lambda s: s["kind"] == F.lit("text")),
+            F.lit(0).cast("long"),
+            lambda a, s: a + F.length(F.coalesce(s["text"], F.lit(""))),
+        ).alias("text_chars"),
+        F.array_join(
+            F.transform(sp, lambda s: F.substring(s["kind"], 1, 1)), ""
+        ).alias("kind_seq"),
+        F.md5(F.encode(seq, "UTF-8")).alias("span_fingerprint"),
+        dense.alias("offsets_dense"),
+    )

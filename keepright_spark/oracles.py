@@ -3086,3 +3086,30 @@ def oracle_zonal_stats(d: str) -> str:
         "sum(val) / count(*) AS mean_val "
         "FROM inside GROUP BY way_id, zone_kind"
     )
+
+
+def oracle_doc_span_profile(d: str) -> str:
+    """DuckDB twin of media.doc_span_profile: list-lambda algebra
+    over the raw docs parquet (whatever layout the engine reads)."""
+    from .docs_store import duckdb_docs_source
+
+    return f"""
+WITH docs AS (SELECT * FROM read_parquet({duckdb_docs_source(d)}))
+SELECT doc_id,
+  CAST(len(spans) AS BIGINT) AS n_spans,
+  CAST(len(list_filter(spans, s -> s.kind = 'text')) AS BIGINT) AS n_text,
+  CAST(len(list_filter(spans, s -> s.kind = 'media')) AS BIGINT)
+    AS n_media,
+  CAST(coalesce(list_aggregate(list_transform(
+      list_filter(spans, s -> s.kind = 'text'),
+      s -> length(coalesce(s.text, ''))), 'sum'), 0) AS BIGINT)
+    AS text_chars,
+  array_to_string(list_transform(spans, s -> substr(s.kind, 1, 1)), '')
+    AS kind_seq,
+  md5(array_to_string(list_transform(spans,
+      s -> s.kind || chr(31) || coalesce(s.text, '') || chr(31) ||
+           coalesce(s.media_ref, '')), chr(30))) AS span_fingerprint,
+  CASE WHEN list_transform(spans, s -> CAST(s."offset" AS BIGINT))
+            = range(0, len(spans)) THEN 1 ELSE 0 END AS offsets_dense
+FROM docs
+"""

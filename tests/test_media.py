@@ -133,3 +133,30 @@ def test_media_transforms(spark, tiny_dir):
         assert r["dim"] == media.FAKE_FEATURE_DIM == len(vals)
         assert all(0 <= v <= 255 for v in vals)  # quantized uint8 range
         assert r["ssq"] == sum(v * v for v in vals)
+
+
+def test_doc_span_profile(spark, tiny_dir):
+    """Span-sequence profile vs the DuckDB oracle on the tiny world,
+    plus the codec invariants it encodes: dense 0-based offsets
+    everywhere, counts consistent, fingerprint unique per distinct
+    sequence."""
+    import duckdb
+
+    from keepright_spark.oracles import oracle_doc_span_profile
+
+    docs = pipeline.load_docs(spark, tiny_dir)
+    got = media.doc_span_profile(docs).toPandas()
+    con = duckdb.connect()
+    exp = con.sql(oracle_doc_span_profile(tiny_dir)).df()
+
+    def norm(d):
+        d = d.reindex(sorted(d.columns), axis=1).astype(str)
+        return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+    assert norm(got).equals(norm(exp))
+    assert (got.offsets_dense == 1).all()
+    assert (got.n_spans >= got.n_text + got.n_media).all()
+    assert (got.kind_seq.str.len() == got.n_spans).all()
+    # the fingerprint separates documents: collisions only for
+    # identical span sequences, and the tiny world has none
+    assert got.span_fingerprint.nunique() == len(got)
