@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..codec import OsmViews
 from ..data_tables import AREA_RULES
 from ..errors import finish_errors
+from ..lib import stable_checkpoint
 
 MSGID = "This way is tagged with '$1=$2' and should be closed-loop"
 
@@ -250,7 +251,12 @@ def run(v: OsmViews) -> DataFrame:
         .filter(F.col("nw") > 1)
         .select("tile", "rule_id", "node_id")
     )
-    cwn_j = cwn.join(jn, ["tile", "rule_id", "node_id"], "left_semi").persist()
+    # materialized (multi-consumer reuse): run() only builds the plan,
+    # so a .persist() paired with a build-time .unpersist() never
+    # survives to the write action (probed r5) — checkpoint instead
+    cwn_j = stable_checkpoint(
+        cwn.join(jn, ["tile", "rule_id", "node_id"], "left_semi")
+    )
 
     subjects = (
         cw.join(
@@ -266,8 +272,8 @@ def run(v: OsmViews) -> DataFrame:
             F.col("way_id").alias("sw"),
             "first_node_id", "last_node_id", "cls_k", "cls_v",
         )
-        .persist()
     )
+    subjects = stable_checkpoint(subjects)
 
     # per-(tile, rule) reachability inside a vectorized applyInPandas
     # operator: the rule-class junction graphs are tile-local and
@@ -330,8 +336,6 @@ def run(v: OsmViews) -> DataFrame:
     out = finish_errors(
         e, 30, "way", MSGID, txt1=F.col("t1"), txt2=F.col("t2")
     ).drop("t1", "t2")
-    cwn_j.unpersist()
-    subjects.unpersist()
     return out
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..codec import OsmViews
 from ..errors import finish_errors
-from ..lib import way_layers
+from ..lib import stable_checkpoint, way_layers
 from ..spatial import (
     bbox_cells,
     point_cells,
@@ -108,7 +108,13 @@ def run(v: OsmViews) -> DataFrame:
         .join(layers, ["tile", "way_id"], "left")
         .fillna({"layer": "0"})
     )
-    ends = _end_nodes(v, hw).persist()
+    # materialize: the ends subtree (a full way_nodes usage count)
+    # appears 4+ times in the final plan (subjects → cand1/p2, e2).
+    # NOT .persist()+.unpersist(): run() only BUILDS the plan — an
+    # unpersist before the write action drops the cache entry before
+    # any job can use it (probed: no InMemoryRelation in the executed
+    # plan), which silently recomputed ends per appearance until r5.
+    ends = stable_checkpoint(_end_nodes(v, hw))
 
     # en-nodes that may not be the *subject* of a candidate
     subject_excluded = (
@@ -205,7 +211,11 @@ def run(v: OsmViews) -> DataFrame:
         .distinct()  # duplicate cells
     )
 
-    cands = cand1.unionByName(cand2)
+    # materialize the candidate set: everything downstream (barrier
+    # veto scan, the veto anti-join, the shared-node exclusion, the
+    # winner window) re-derives cands — without a cut the expensive
+    # cell joins above appear ~4x in the final plan
+    cands = stable_checkpoint(cand1.unionByName(cand2))
 
     # ---- barrier veto ----------------------------------------------
     barrier_ways = (
@@ -313,7 +323,6 @@ def run(v: OsmViews) -> DataFrame:
             F.col("nearby_way_id").cast("string").alias("t1"),
         )
     )
-    ends.unpersist()
     return finish_errors(winners, 50, "node", MSGID, txt1=F.col("t1"))
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..codec import OsmViews
 from ..errors import finish_errors
+from ..lib import stable_checkpoint
 
 MSGID = "This way is not connected to the rest of the map"
 HW_EXCLUDED = [
@@ -92,7 +93,9 @@ def run(v: OsmViews) -> DataFrame:
         .select("tile", "node_id")
     )
     # member way_nodes restricted to junction nodes (_tmp_wn)
-    wnj = wn.join(junctions, ["tile", "node_id"], "left_semi").persist()
+    # materialized (multi-consumer reuse): a build-time unpersist made
+    # the old .persist() a no-op at write time (probed r5)
+    wnj = stable_checkpoint(wn.join(junctions, ["tile", "node_id"], "left_semi"))
     connector = _connector_only(v)
 
     # error A: member way with no junction at all
@@ -176,7 +179,6 @@ def run(v: OsmViews) -> DataFrame:
         .select("tile", F.col("way_id").alias("object_id"))
     )
     out = finish_errors(e, 130, "way", MSGID)
-    wnj.unpersist()
     return out
 
 

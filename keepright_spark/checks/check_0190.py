@@ -271,30 +271,50 @@ def run(v: OsmViews) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)),
     )
-    # dedupe duplicate cells / duplicate vertices.  The geometry frame
-    # feeds FIVE consumers downstream (pair_stats → cross_pairs/over,
-    # pts twice, connected) — materialize it once instead of
-    # recomputing the pair join + intersection math per consumer (this
-    # alone was ~5× the check's wall).  It is tiny relative to the
-    # pair join input (one row per touching pair vertex).
+    # dedupe duplicate cells / duplicate vertices, then collapse to
+    # ONE row per way pair immediately: overlap stats as aggregates,
+    # the pair's distinct kind-1 intersection points as a collected
+    # set (bounded by the crossing count of TWO ways — a handful in
+    # practice; the reference materializes the same point set per
+    # pair as _tmp_xing rows, 0190:199-232).  Until round 5 the
+    # point-level frame itself was the checkpointed reuse point and
+    # fed five consumers — meta joins ran per touching VERTEX and the
+    # frame was scanned twice more for the crossing points; the
+    # pair-level aggregate is strictly smaller, joins meta once per
+    # PAIR, and leaves a single narrow frame to materialize
+    # (measured r5 solo@m/local[32] in a drifting window: same-window
+    # min wall 39.3 s vs 44.3 s old, 57 stages/1858 tasks vs 62/2018,
+    # executor-CPU flat — the win is fewer barriers, not less math).
     geom = (
         geom.select(
             "tile", "w1", "w2", "t1", "t2", "kind", "px", "py", "qx", "qy", "olen"
         )
         .distinct()
     )
-    # Materialization mechanism A/B'd (r5: solo xd @4 cores, fresh JVM,
-    # 2 interleaved reps): localCheckpoint 32.8/44.7 s vs
-    # persist(MEMORY_AND_DISK)+count 48.9/47.7 s — the columnar cache
-    # build + 5-consumer decompress loses to row-block storage on this
-    # narrow all-numeric frame, so the checkpoint stays.  Pure lazy
-    # exchange reuse is not available either: per-consumer column
-    # pruning pushes different projections below the distinct, the
-    # subplans stop being identical, and geom recomputes per consumer
-    # (~5x the check's wall, measured r2).
-    geom = stable_checkpoint(geom)
+    pair_stats = geom.groupBy("tile", "w1", "w2", "t1", "t2").agg(
+        F.max(F.when(F.col("kind") == 2, F.col("olen")).otherwise(0.0) > 0).alias(
+            "has_overlap"
+        ),
+        F.sum(F.when(F.col("kind") == 2, F.col("olen")).otherwise(0.0)).alias(
+            "overlap_total"
+        ),
+        F.min(
+            F.when(
+                F.col("kind") == 2,
+                F.least(
+                    F.struct(F.col("px"), F.col("py")),
+                    F.struct(F.col("qx").alias("px"), F.col("qy").alias("py")),
+                ),
+            )
+        ).alias("omin"),
+        # collect_set skips the kind-2 nulls and dedupes — the same
+        # point set the old shape got from filter(kind=1).distinct()
+        F.collect_set(
+            F.when(F.col("kind") == 1, F.struct(F.col("px"), F.col("py")))
+        ).alias("xpts"),
+    )
 
-    # --- per-pair classification -------------------------------------
+    # --- per-pair classification (meta join at PAIR granularity) -----
     m1 = meta.select(
         "tile", F.col("way_id").alias("w1"),
         F.col("fx").alias("fx1"), F.col("fy").alias("fy1"),
@@ -307,7 +327,6 @@ def run(v: OsmViews) -> DataFrame:
         F.col("lx").alias("lx2"), F.col("ly").alias("ly2"),
         F.col("length").alias("len2"),
     )
-    g = geom.join(m1, ["tile", "w1"]).join(m2, ["tile", "w2"])
 
     def interior(px, py, fx, fy, lx, ly):
         closed = (fx == lx) & (fy == ly)
@@ -315,34 +334,22 @@ def run(v: OsmViews) -> DataFrame:
             ~((px == fx) & (py == fy)) & ~((px == lx) & (py == ly))
         )
 
-    g = g.withColumn(
-        "interior_both",
-        (F.col("kind") == 1)
-        & interior(F.col("px"), F.col("py"), F.col("fx1"), F.col("fy1"),
-                   F.col("lx1"), F.col("ly1"))
-        & interior(F.col("px"), F.col("py"), F.col("fx2"), F.col("fy2"),
-                   F.col("lx2"), F.col("ly2")),
-    )
-
-    pair_stats = g.groupBy("tile", "w1", "w2", "t1", "t2").agg(
-        F.max(F.when(F.col("kind") == 2, F.col("olen")).otherwise(0.0) > 0).alias(
-            "has_overlap"
-        ),
-        F.sum(F.when(F.col("kind") == 2, F.col("olen")).otherwise(0.0)).alias(
-            "overlap_total"
-        ),
-        F.max(F.col("interior_both")).alias("has_interior_cross"),
-        F.min(
-            F.when(
-                F.col("kind") == 2,
-                F.least(
-                    F.struct(F.col("px"), F.col("py")),
-                    F.struct(F.col("qx").alias("px"), F.col("qy").alias("py")),
+    pair_stats = (
+        pair_stats.join(m1, ["tile", "w1"]).join(m2, ["tile", "w2"])
+        .withColumn(
+            "has_interior_cross",
+            F.exists(
+                "xpts",
+                lambda p: interior(
+                    p["px"], p["py"], F.col("fx1"), F.col("fy1"),
+                    F.col("lx1"), F.col("ly1"),
+                )
+                & interior(
+                    p["px"], p["py"], F.col("fx2"), F.col("fy2"),
+                    F.col("lx2"), F.col("ly2"),
                 ),
-            )
-        ).alias("omin"),
-        F.first("len1").alias("len1"),
-        F.first("len2").alias("len2"),
+            ),
+        )
     )
     pair_stats = pair_stats.withColumn(
         "contained",
@@ -352,17 +359,33 @@ def run(v: OsmViews) -> DataFrame:
         F.when(F.col("has_overlap") & ~F.col("contained"), F.lit("overlaps"))
         .when(~F.col("has_overlap") & F.col("has_interior_cross"), F.lit("crosses"))
         .otherwise(F.lit(None)),
-    ).filter(F.col("action").isNotNull())
+    ).filter(F.col("action").isNotNull()).select(
+        "tile", "w1", "w2", "t1", "t2", "action", "omin", "xpts"
+    )
+    # Materialization mechanism A/B'd (r5: solo xd @4 cores, fresh JVM,
+    # 2 interleaved reps): localCheckpoint 32.8/44.7 s vs
+    # persist(MEMORY_AND_DISK)+count 48.9/47.7 s — the columnar cache
+    # build loses to row-block storage on this narrow all-numeric
+    # frame, so the checkpoint stays.  Pure lazy exchange reuse is not
+    # available either: per-consumer column pruning pushes different
+    # projections below the aggregate, the subplans stop being
+    # identical, and the pair join recomputes per consumer (~5x the
+    # check's wall, measured r2).  Two consumers remain (cross / over)
+    # and the frame is post-filter pair-level — the cheapest
+    # materialization point in the dataflow.
+    pair_stats = stable_checkpoint(pair_stats)
 
     subtype = _subtype_col(F.col("t1"), F.col("t2"))
 
     # --- crossing errors: all points, connected_near filtered --------
-    cross_pairs = pair_stats.filter(F.col("action") == "crosses").select(
-        "tile", "w1", "w2", "t1", "t2"
+    pts = (
+        pair_stats.filter(F.col("action") == "crosses")
+        .select("tile", "w1", "w2", "t1", "t2", F.explode("xpts").alias("p"))
+        .select(
+            "tile", "w1", "w2", "t1", "t2",
+            F.col("p.px").alias("px"), F.col("p.py").alias("py"),
+        )
     )
-    pts = geom.filter(F.col("kind") == 1).join(
-        cross_pairs, ["tile", "w1", "w2", "t1", "t2"], "left_semi"
-    ).select("tile", "w1", "w2", "t1", "t2", "px", "py").distinct()
 
     # shared nodes of the pair (_tmp_xings, 0190:204-226) — the
     # common-node table is only ever probed for classified-way pairs,
