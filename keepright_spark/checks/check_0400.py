@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..codec import OsmViews
 from ..errors import finish_errors
-from ..lib import find_oneways
+from ..lib import find_oneways, stable_checkpoint
 
 MSG_BOTH = (
     "ways $1 and $2 join in a very sharp angle here and there is no "
@@ -185,6 +185,13 @@ def _check_0401(v: OsmViews) -> DataFrame:
             * ANGLE_LIMIT_401
         )
     ).select("tile", "junction_id", "w1", "rev1", "w2", "rev2")
+    # materialize the sharp-pair candidates: the partner-vector pair
+    # join is the expensive stage, and the plan below re-derives it —
+    # same_named embeds sharp once more, the anti-join again, and each
+    # of the four clear() stages doubles whatever it is handed (hit
+    # derives from df, then joins back onto df), a 2^4 blow-up by the
+    # last stage without a cut here
+    sharp = stable_checkpoint(sharp)
 
     # same name/ref exclusion (0400:227-243)
     nr = v.way_tags.filter(F.col("k").isin("name", "ref")).select(
@@ -229,6 +236,9 @@ def _check_0401(v: OsmViews) -> DataFrame:
     ) & (F.col("ow2").isNull() | ~xor2)  # not(ow2 present and xor2)
     err_second = (F.col("ow2").isNull() | xor2) & (F.col("ow1").isNull() | ~xor1)
     sharp = sharp.withColumn("err1", err_first).withColumn("err2", err_second)
+    # second cut before the four doubling clear() stages (see above):
+    # sharp is tiny here (post-exclusion candidate pairs with flags)
+    sharp = stable_checkpoint(sharp)
 
     # turn-restriction rules (0400:396-453)
     r = _restrictions(v)
