@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..codec import OsmViews
 from ..errors import finish_errors
-from ..lib import html_escape
+from ..lib import html_escape, stable_checkpoint
 
 RESTRICTION_TYPES = [
     "restriction", "restriction:hgv", "restriction:caravan",
@@ -188,7 +188,11 @@ def run(v: OsmViews) -> DataFrame:
         .unionByName(p294)
     )
     bad_ids = early.select("tile", F.col("object_id").alias("relation_id")).distinct()
-    rr = (
+    # materialized: every later clause (295 x2, the 296 way list x2,
+    # 297/298 joins) re-derives rr, and rr embeds both the pinned-
+    # member windows and the whole early-error union via bad_ids —
+    # one tiny frame, ~6 consumers
+    rr = stable_checkpoint(
         r.filter(
             F.col("from_id").isNotNull()
             & F.col("to_id").isNotNull()
