@@ -492,6 +492,42 @@ def _write_baseline_md(scale: str, per_query: dict, result: dict) -> None:
             "128 MB partitions keyed on (tile, …) with no driver "
             "collects (test_plans.py gates), so executor count is "
             "the only scaling axis.\n\n"
+            "### Round-5 perf notes (what changed since the r4 walls)\n\n"
+            "Two plan-shape bug classes were found and fixed, every "
+            "fix A/B'd solo at scale m with interleaved same-window "
+            "reps (this host's steal makes anything else meaningless "
+            "— see calibration below):\n\n"
+            "1. **Dead plan-build-time persists** (0030/0050/0130): "
+            "`run()` only *builds* a plan, so a `.persist()` paired "
+            "with an `.unpersist()` before the staged write action "
+            "never survives to execution (probed: no InMemoryRelation "
+            "in the executed plan).  The multi-consumer subtrees those "
+            "persists were meant to share — 0050's candidate set was "
+            "re-derived ~4x — silently recomputed since round 1.  "
+            "Fixed with stable_checkpoint; 0050 24.4-26.3 → "
+            "20.3-21.0 s solo.\n"
+            "2. **Self-join doubling chains** (0400, 0290, 0190): a "
+            "stage that derives keys from its input and joins them "
+            "back onto that same input embeds the subtree twice; "
+            "0400's four turn-restriction clear() stages compounded "
+            "to 2^4 copies of the junction-pair join (solo 53.4-75.5 "
+            "→ 20.5-23.4 s), 0290's rr re-embedded the early-error "
+            "union per clause (28.0-30.2 → 22.4-23.6 s), and 0190 now "
+            "aggregates to pair granularity before its meta joins and "
+            "checkpoints the post-filter pair frame (44.3 → 39.3 s "
+            "same-window, executor-CPU flat, 62→57 stages).\n\n"
+            "Where the same probe showed a REUSED-FROM-CACHE subtree "
+            "(0220's keys off the persisted tags, 0310's stitcher "
+            "parts), adding a checkpoint measured neutral-to-slower "
+            "and was NOT kept — materialization is only worth a "
+            "barrier when the recomputed subtree is expensive.\n\n"
+            "Headline same-window A/B (staged suite, scale m, "
+            "local[32], min of 3+): r5 code 69.8 s vs pre-r5 92.5 s "
+            "on the round-5 world.  NOTE: the round-5 world itself "
+            "grew (planted deletions for 0010, webcache tags for "
+            "0410, follower fixtures) — suite rows are now 74,533 vs "
+            "74,138 in BENCH_r04, so cross-round rows/sec is the "
+            "comparable number, not wall alone.\n\n"
             "### Round-4 reading of the three efficiency numbers\n\n"
             "Round-4 perf work moved every ladder level down "
             "(min-of-2 walls, xd): 1-core 299→215s, 2-core 170→125s, "

@@ -392,15 +392,16 @@ def run_checks(
 # starts the most expensive check (0190, staged wall ~42s on scale m
 # — comparable to the whole suite's 54-63s wall) only in the 16th
 # slot, so its tail extends the makespan; starting the long poles at
-# t=0 lets the cheap checks pack around them.  Ranking = measured
-# walls, consistent across both bench channels (BENCH/SOLO.md min-of-3
-# solo walls; BENCH/BASELINE.md staged walls).  Checks not listed
+# t=0 lets the cheap checks pack around them.  Ranking = the
+# round-5 BENCH/SOLO.md min-of-3 solo walls (re-measured after the
+# r5 materialization fixes moved 0400/0050/0290 down).  Checks not
+# listed
 # (e.g. a new check before it is ever measured) run after the listed
 # ones in id order — the schedule stays deterministic.
 _STAGE_COST_ORDER = [
-    190, 50, 280, 290, 220, 400, 310, 70, 270, 60, 420, 130, 30, 40,
-    360, 170, 230, 370, 180, 350, 210, 110, 100, 90, 150, 320, 160,
-    300, 380, 390, 120, 20,
+    190, 280, 50, 220, 310, 70, 290, 400, 420, 60, 40, 130, 170, 270,
+    360, 30, 370, 230, 210, 180, 20, 150, 350, 110, 160, 100, 380,
+    320, 390, 300, 90, 120,
 ]
 
 
