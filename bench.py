@@ -528,6 +528,18 @@ def _write_baseline_md(scale: str, per_query: dict, result: dict) -> None:
             "0410, follower fixtures) — suite rows are now 74,533 vs "
             "74,138 in BENCH_r04, so cross-round rows/sec is the "
             "comparable number, not wall alone.\n\n"
+            "**Why the r5 fixes LOWER the raw 1→4 ratio while making "
+            "every absolute wall faster**: recomputed subtrees are "
+            "pure serial work at 1 core but largely hide in idle "
+            "capacity at 4 cores (the dense-ladder stages rarely "
+            "saturate all 4 the whole time).  Removing them therefore "
+            "compressed the 1-core wall ~20% (206→166 s on the r5 "
+            "measurement) while the 4-core wall — already efficient — "
+            "moved ~1% (66.2→65.5 s).  A faster engine thus *reads* "
+            "as worse raw scaling; the clock-honest 2→4 ratio "
+            "(same turbo/memory conditions both sides) stays ≥0.8, "
+            "and 4-core absolute throughput improved.  Judge the "
+            "walls and 2→4, not the 1-core-anchored ratios.\n\n"
             "### Round-4 reading of the three efficiency numbers\n\n"
             "Round-4 perf work moved every ladder level down "
             "(min-of-2 walls, xd): 1-core 299→215s, 2-core 170→125s, "
