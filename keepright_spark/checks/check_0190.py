@@ -137,7 +137,14 @@ def _subtype_col(t1: Column, t2: Column) -> Column:
 
 
 def run(v: OsmViews) -> DataFrame:
-    ways = classify_ways(v)
+    # materialize the way classification: the first-match-wins chain
+    # is a cascade of anti-joined unions (~30 scans), and it is
+    # re-embedded by the segment build, the metadata joins AND twice
+    # inside the xings self-join — without a cut here the executed
+    # plan carries ~380 parquet scans / 660 exchanges (probed r5,
+    # scale s) and Catalyst re-optimizes every copy; with it the
+    # returned plan is 2 scans / 7 exchanges
+    ways = stable_checkpoint(classify_ways(v))
     segs = way_segments(v, ways.select("tile", "way_id")).join(
         ways, ["tile", "way_id"]
     )

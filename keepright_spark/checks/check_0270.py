@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..codec import OsmViews
 from ..errors import finish_errors
+from ..lib import stable_checkpoint
 from ..spatial import bbox_cells, point_seg_dist2, seg_cross, way_segments
 
 CELL_M = 256.0
@@ -126,7 +127,13 @@ def run(v: OsmViews) -> DataFrame:
         )
         .select("tile", "node_id")
     )
-    junc = junc.join(endpoint_nodes, ["tile", "node_id"], "left_anti")
+    # materialized: junc feeds the other-way expansion (whose chain is
+    # scanned by svc_segs AND the veto pair join), junc_kept and the
+    # final emit — without a cut the way_nodes groupBy + endpoint
+    # anti-join re-derives per consumer
+    junc = stable_checkpoint(
+        junc.join(endpoint_nodes, ["tile", "node_id"], "left_anti")
+    )
 
     # other ways at motorway junction nodes
     other = (
@@ -153,6 +160,9 @@ def run(v: OsmViews) -> DataFrame:
             "left_anti",
         )
     )
+    # two consumers (svc_segs work-list, veto pair join) re-derive the
+    # access-exception anti-join otherwise
+    service_pairs = stable_checkpoint(service_pairs)
 
     # rest-area proximity veto (0270:88-113)
     svc_segs = way_segments(

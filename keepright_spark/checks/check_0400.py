@@ -241,7 +241,9 @@ def _check_0401(v: OsmViews) -> DataFrame:
     sharp = stable_checkpoint(sharp)
 
     # turn-restriction rules (0400:396-453)
-    r = _restrictions(v)
+    # materialized: no_r / only_r each feed two clear() stages, so the
+    # relation-member role joins would be re-embedded four times
+    r = stable_checkpoint(_restrictions(v))
     no_r = r.filter(F.col("rtype") == "no").select("tile", "from_way", "to_way")
     only_r = r.filter(F.col("rtype") == "only").select("tile", "from_way", "to_way")
 
