@@ -135,7 +135,11 @@ def test_staged_lpt_order():
     ids = sorted(_STAGE_COST_ORDER)
     out = _lpt_order(ids)
     assert sorted(out) == ids
-    assert out[:4] == [190, 50, 280, 290]  # the measured long poles
+    # submission follows the measured cost table, longest first (the
+    # table itself is re-ranked from BENCH/SOLO.md each round — pin
+    # the contract, not a snapshot of the ranking)
+    assert out == _STAGE_COST_ORDER
+    assert out[0] == 190  # the stable top pole across every round
     # unknown (unmeasured) check ids sort after every measured one
     assert _lpt_order([20, 999, 190])[-1] == 999
     os.environ["KR_STAGE_ORDER"] = "id"
